@@ -1,0 +1,74 @@
+"""Per-sink / per-conversation aggregates.
+
+The reference's only aggregate is the mirror's per-tag append list served
+as JSON (reference: mirror/mirror.go:16,41-47) — effectively
+`GROUP BY tag -> collect_list`. The north_star mandates real aggregates;
+all are Spark built-ins with automatic partial (map-side) + final
+aggregation, so the shuffle moves one row per (group key, partition), not
+per input row — the property that makes these viable at 10^12 rows.
+
+`countDistinct` is exact (test/oracle parity); `approx_count_distinct`
+(HLL++) is the scale path — at 10^12 turns an exact distinct of conv_id
+is a full shuffle of the key universe, HLL is a constant-size sketch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def routed_counts(routed: DataFrame, exact_distinct: bool = True) -> DataFrame:
+    """Per-sink turn counts + distinct conversations (north-rule equality)."""
+    distinct = (
+        F.countDistinct("conv_id") if exact_distinct
+        else F.approx_count_distinct("conv_id")
+    )
+    return routed.groupBy("sink").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        distinct.alias("n_convs"),
+    )
+
+
+def tool_histogram(routed: DataFrame) -> DataFrame:
+    """Per-sink tool-usage histogram."""
+    return routed.groupBy("sink", "tool").agg(F.count(F.lit(1)).alias("n"))
+
+
+def conversation_stats(routed: DataFrame) -> DataFrame:
+    """Per-conversation sequence stats over the canonical order.
+
+    Window over (conv_id ORDER BY turn_idx) — the engine's stable order
+    (the reference declares a ts sort it never runs, event/event.go:21-33;
+    we make (conv_id, turn_idx) the canonical order per the north rule).
+    One shuffle on conv_id serves both the lag() and the groupBy.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # integer-µs gaps: exact, so the avg is bit-identical across engines
+    # (a double-seconds gap is only ~0.5µs-precise at 2024 epochs)
+    ts_us = F.unix_micros(F.col("ts"))
+    gap = ts_us - F.lag(ts_us).over(w)
+    with_gap = routed.withColumn("gap_us", gap)
+    return with_gap.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.countDistinct("tool").alias("n_tools"),
+        F.round(F.avg("gap_us") / 1e6, 6).alias("avg_gap_s"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.sum(F.when(F.col("sink") == "sink_errors", 1).otherwise(0)).alias("n_errors"),
+    )
+
+
+def top_k_per_group(
+    df: DataFrame, group_col: str, order_col: str, k: int, tie_col: str
+) -> DataFrame:
+    """Top-K rows per group via row_number — the standard Spark idiom.
+
+    ``tie_col`` makes ranking total (deterministic under parallelism).
+    """
+    w = Window.partitionBy(group_col).orderBy(F.col(order_col).desc(), F.col(tie_col))
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )

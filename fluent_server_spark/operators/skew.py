@@ -1,0 +1,51 @@
+"""Skew handling for hot conversations.
+
+The fixture (and real transcript corpora) have hot keys: one conversation
+holding ~30% of turns. A plain hash(conv_id) partitioning puts 30% of the
+table in one task. Two mitigations, composable:
+
+* AQE skew-join/partition splitting (`spark.sql.adaptive.*`, on in our
+  session) — runtime, free.
+* Explicit salting (this module) — for deterministic layout at write
+  time and for groupBys AQE can't split (single hot group): a two-phase
+  aggregate over a salted key, then re-aggregate.
+
+`salted_bucket` is also the sink partitioning column: files are laid out
+by pmod(hash(conv_id), B) with hot keys spread across salts, which keeps
+every output file bounded at 10^12-turn scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_bucket(
+    conv_col: Column, turn_col: Column, n_buckets: int, n_salt: int = 8
+) -> Column:
+    """pmod(hash(conv_id), B) with the salt folding in turn_idx.
+
+    Salt = pmod(hash(conv_id, turn_idx), n_salt): rows of a hot
+    conversation spread over n_salt buckets; cold conversations still
+    co-locate (salt is a deterministic function of the row, so re-runs
+    write identical layouts — required for idempotent resume).
+    """
+    base = F.pmod(F.hash(conv_col), F.lit(n_buckets // n_salt or 1))
+    salt = F.pmod(F.hash(conv_col, turn_col), F.lit(n_salt))
+    return (base * n_salt + salt).cast("int")
+
+
+def salted_count(
+    df: DataFrame, key: str, n_salt: int = 16, count_alias: str = "n"
+) -> DataFrame:
+    """Two-phase count for skewed keys: partial agg on (key, salt) — the
+    hot key becomes n_salt map-side groups — then final agg on key.
+    Shuffle rows: n_keys * n_salt, independent of input size."""
+    salt = F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n_salt))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(key, "_salt")
+        .agg(F.count(F.lit(1)).alias("_partial"))
+    )
+    return partial.groupBy(key).agg(F.sum("_partial").alias(count_alias))

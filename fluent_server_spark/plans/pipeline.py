@@ -1,0 +1,202 @@
+"""The end-to-end transcript pipeline: parse -> enrich -> route -> sinks -> aggs.
+
+This is the whole reference data path re-expressed as one declarative plan
+(reference lifecycle: server accept -> session loop -> DecodeEntry ->
+handler -> mirror map, SURVEY.md §3). Spark shape:
+
+    scan turns (tasks <-> connections)
+      -> vectorized parse            (<-> DecodeEntry, message/entry.go:11-35)
+      -> broadcast-join enrich       (capability gap filled per north_star)
+      -> first-match route           (<-> mirror per-tag map, mirror/mirror.go:26-39)
+      -> ONE partitioned write, partitionBy(sink, bucket)
+         (<-> per-tag append; physical fan-out = directory layout, so all
+          sinks materialize from a SINGLE scan — no per-sink re-read)
+      -> aggregates from the written sinks (<-> mirror JSON read path)
+
+Scale design (10^12 turns):
+* bucket = salted hash(conv_id) (operators/skew.py): bounded files per
+  partition even with a conversation holding 30% of turns.
+* resume granularity = checkpoint groups: buckets are processed in G
+  independent jobs, each committing an ack record (plans/checkpoint.py)
+  after its dynamic-partition-overwrite lands. A killed run redoes only
+  uncommitted groups, byte-identically. G trades re-scan count against
+  blast radius; per-group input is a narrow filter on the scan.
+* per-group metrics ride the write via ``Observation`` — counts are
+  collected during the write job itself, no second action.
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from fluent_server_spark.data.synth import (
+    QUARANTINE_SINK,
+    ROUTE_RULE_ROWS,
+    lookup_df,
+)
+from fluent_server_spark.functions.parse import parse_turns
+from fluent_server_spark.operators.aggregates import (
+    conversation_stats,
+    routed_counts,
+    tool_histogram,
+)
+from fluent_server_spark.operators.enrich import enrich_turns
+from fluent_server_spark.operators.route import route_turns, rules_from_rows
+from fluent_server_spark.operators.skew import salted_bucket
+from fluent_server_spark.plans.checkpoint import CheckpointLog, GroupCommit
+
+
+class InjectedFailure(RuntimeError):
+    """Raised by the fault-injection hook in resume tests."""
+
+
+@dataclass
+class PipelineConfig:
+    sinks_path: str
+    checkpoint_path: str
+    parse_impl: str = "native"  # 'native' (Catalyst) | 'pandas' (Arrow UDF)
+    n_buckets: int = 32
+    n_salt: int = 8
+    checkpoint_groups: int = 1
+    rules: list = field(default_factory=lambda: rules_from_rows(ROUTE_RULE_ROWS))
+
+
+ALL_SINKS = sorted({r[4] for r in ROUTE_RULE_ROWS} | {QUARANTINE_SINK})
+
+# schema of rows as written to sinks (flattened parse struct + route cols)
+SINK_SCHEMA = (
+    "conv_id string, turn_idx int, role string, tool string, ts timestamp, "
+    "text string, level string, component string, msg string, dur_ms int, "
+    "tokens int, parse_ok boolean, tool_family string, risk_tier string, "
+    "sink string, bucket int"
+)
+
+
+class TranscriptPipeline:
+    def __init__(self, spark: SparkSession, config: PipelineConfig):
+        self.spark = spark
+        self.config = config
+        self.checkpoint = CheckpointLog(config.checkpoint_path)
+
+    # ---------------------------------------------------------- transform
+    def transform(self, turns: DataFrame) -> DataFrame:
+        """The pure (no-action) logical plan: turns -> routed rows."""
+        cfg = self.config
+        parsed = parse_turns(turns, impl=cfg.parse_impl)
+        enriched = enrich_turns(parsed, lookup_df(self.spark))
+        routed = route_turns(enriched, cfg.rules)
+        flat = routed.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "tool",
+            "ts",
+            "text",
+            F.col("parsed.level").alias("level"),
+            F.col("parsed.component").alias("component"),
+            F.col("parsed.msg").alias("msg"),
+            F.col("parsed.dur_ms").alias("dur_ms"),
+            F.col("parsed.tokens").alias("tokens"),
+            F.col("parsed.parse_ok").alias("parse_ok"),
+            "tool_family",
+            "risk_tier",
+            "sink",
+        )
+        return flat.withColumn(
+            "bucket",
+            salted_bucket(F.col("conv_id"), F.col("turn_idx"), cfg.n_buckets, cfg.n_salt),
+        )
+
+    # ---------------------------------------------------------------- run
+    def run(
+        self,
+        turns: DataFrame,
+        run_id: str | None = None,
+        fail_after_groups: int | None = None,
+    ) -> str:
+        """Execute with per-group checkpointed writes; returns run_id.
+
+        Re-invoking with the same run_id resumes: committed groups are
+        skipped, the in-flight group is rewritten idempotently.
+        """
+        cfg = self.config
+        run_id = run_id or uuid.uuid4().hex[:12]
+        routed = self.transform(turns)
+        done = self.checkpoint.committed_groups(run_id)
+        groups_ran = 0
+        for g in range(cfg.checkpoint_groups):
+            if g in done:
+                continue
+            if fail_after_groups is not None and groups_ran >= fail_after_groups:
+                raise InjectedFailure(f"injected failure before group {g}")
+            started = CheckpointLog.now()
+            sub = routed if cfg.checkpoint_groups == 1 else routed.filter(
+                F.pmod(F.col("bucket"), F.lit(cfg.checkpoint_groups)) == g
+            )
+            obs = Observation(f"grp-{g}")
+            metric_cols = [F.count(F.lit(1)).alias("n_rows")] + [
+                F.sum(F.when(F.col("sink") == s, 1).otherwise(0)).alias(f"s_{s}")
+                for s in ALL_SINKS
+            ]
+            sub = sub.observe(obs, *metric_cols)
+            (
+                sub.write.mode("overwrite")
+                .partitionBy("sink", "bucket")
+                .parquet(cfg.sinks_path)
+            )
+            m = obs.get
+            self.checkpoint.commit(
+                GroupCommit(
+                    run_id=run_id,
+                    group_id=g,
+                    n_groups=cfg.checkpoint_groups,
+                    n_rows=int(m["n_rows"] or 0),
+                    sink_counts={s: int(m[f"s_{s}"] or 0) for s in ALL_SINKS},
+                    started_at=started,
+                    finished_at=CheckpointLog.now(),
+                )
+            )
+            groups_ran += 1
+        return run_id
+
+    # ---------------------------------------------------------- read back
+    def read_sinks(self, sink: str | None = None) -> DataFrame:
+        """Read routed rows back; `sink=` prunes to that partition dir.
+
+        An empty run writes no partition files (dynamic overwrite touches
+        nothing), so fall back to an empty DataFrame with the sink schema.
+        """
+        from pyspark.errors import AnalysisException
+
+        try:
+            df = self.spark.read.parquet(self.config.sinks_path)
+        except AnalysisException:
+            df = self.spark.createDataFrame([], SINK_SCHEMA)
+        return df.filter(F.col("sink") == sink) if sink else df
+
+    def aggregates(self) -> dict[str, DataFrame]:
+        """The mirror-JSON analogue: aggregate tables over written sinks."""
+        routed = self.read_sinks()
+        return {
+            "routed_counts": routed_counts(routed),
+            "tool_histogram": tool_histogram(routed),
+            "conversation_stats": conversation_stats(routed),
+        }
+
+    def run_metrics(self) -> DataFrame:
+        """Lineage/metrics as a DataFrame (reference A25 log sink analogue)."""
+        recs = []
+        import json
+
+        with open(self.config.checkpoint_path) as f:
+            for line in f:
+                if line.strip():
+                    recs.append(json.loads(line))
+        for r in recs:
+            r["sink_counts"] = json.dumps(r["sink_counts"], sort_keys=True)
+            r["extra"] = json.dumps(r.get("extra", {}), sort_keys=True)
+        return self.spark.createDataFrame(recs)

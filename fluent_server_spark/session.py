@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode knobs follow the public Spark docs: shuffle partitions ~= cores
+(not the 200 default), AQE on (runtime coalesce + skew-join), Arrow on for
+pandas-UDF stages, UTC session timezone so timestamps compare 1:1 with the
+DuckDB oracle. On a real cluster the same builder is driven by
+spark-submit confs; nothing here is local-only semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "fluent_server_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all cores. In local mode
+    there is one JVM; ``spark.driver.memory`` is the only memory knob.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Permissive (non-ANSI) semantics: a malformed value must become a
+        # quarantined row, not a job failure — the batch analogue of the
+        # reference rejecting a bad frame without crashing the server
+        # (reference: message/session.go:139-147 guards, not panics).
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,56 @@
+"""Parse stage unit tests — the entry_test analogue
+(reference: message/entry_test.go:12-35 pins literal payload decode)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from fluent_server_spark.functions.parse import parse_turns
+
+
+LITERALS = [
+    ('level=INFO component=planner msg="step completed" dur_ms=12 tokens=34', True),
+    ('level=ERROR component=critic msg="" dur_ms=0 tokens=0', True),
+    ("?garbled 42", False),
+    ("", False),
+    ('level=INFO component=planner msg="no tokens" dur_ms=5', False),  # arity reject
+    ('LEVEL=INFO component=x msg="a" dur_ms=1 tokens=1', False),  # case-sensitive key
+]
+
+
+def _parse_literals(spark, impl):
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(LITERALS)], ["i", "text"]
+    )
+    out = parse_turns(df, impl=impl).select("i", "text", "parsed.*")
+    return out.toPandas().sort_values("i").reset_index(drop=True)
+
+
+def test_literal_cases_native(spark):
+    out = _parse_literals(spark, "native")
+    assert list(out.parse_ok) == [ok for _, ok in LITERALS]
+    r0 = out.iloc[0]
+    assert (r0.level, r0.component, r0.msg, r0.dur_ms, r0.tokens) == (
+        "INFO", "planner", "step completed", 12, 34,
+    )
+    assert out.iloc[2].level is None or pd.isna(out.iloc[2].level)
+
+
+def test_pandas_native_agree(spark, turns_sdf):
+    """Both parser implementations produce identical structs on real data."""
+    a = (
+        parse_turns(turns_sdf, impl="native")
+        .select("conv_id", "turn_idx", "parsed.*")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    b = (
+        parse_turns(turns_sdf, impl="pandas")
+        .select("conv_id", "turn_idx", "parsed.*")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert a.parse_ok.sum() > 0 and (~a.parse_ok).sum() > 0

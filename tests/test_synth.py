@@ -1,0 +1,43 @@
+"""The Spark generator and the pandas twin must agree exactly —
+everything downstream (oracle equality) rests on this."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from fluent_server_spark.data.synth import (
+    HOT_CONV,
+    synth_turns_pandas,
+    synth_turns_spark,
+)
+
+
+def test_twins_identical(spark):
+    n = 5000
+    pdf = synth_turns_pandas(n, n_convs=50)
+    sdf = synth_turns_spark(spark, n, n_convs=50).toPandas()
+    pdf = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    sdf = sdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(pdf, sdf, check_dtype=False)
+
+
+def test_fixture_properties(turns_pdf):
+    n = len(turns_pdf)
+    hot = (turns_pdf.conv_id == HOT_CONV).mean()
+    assert 0.25 < hot < 0.35  # skew fixture
+    malformed = turns_pdf.text.str.startswith("?garbled").mean()
+    assert 0.005 < malformed < 0.05  # quarantine fixture
+    # dense turn_idx per conversation
+    g = turns_pdf.groupby("conv_id")["turn_idx"]
+    assert (g.max() + 1 == g.size()).all()
+    assert (g.min() == 0).all()
+    # ts monotone within conversation
+    s = turns_pdf.sort_values(["conv_id", "turn_idx"])
+    assert (s.groupby("conv_id")["ts"].diff().dropna() > pd.Timedelta(0)).all()
+    assert n == len(turns_pdf.drop_duplicates(["conv_id", "turn_idx"]))
+
+
+def test_determinism():
+    a = synth_turns_pandas(1000, n_convs=10)
+    b = synth_turns_pandas(1000, n_convs=10)
+    pd.testing.assert_frame_equal(a, b)
