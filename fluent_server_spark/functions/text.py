@@ -1,0 +1,155 @@
+"""Text-analysis functions for training-data pipelines over `documents`.
+
+All hot-path functions are native Catalyst column expressions (JVM,
+whole-stage codegen — the engine's rule: Python only off the hot path).
+Language-ID and SimHash are Arrow pandas UDFs (set lookups / bit math
+that Catalyst can't express cleanly).
+
+Capabilities (first-class per the build brief, beyond the reference):
+token counting, quality scoring, language ID, document fingerprinting
+(md5 + rolling min-shingle winnowing), SimHash.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TOKEN_SPLIT = r"\s+"
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
+PUNCT_CLASS = "[^.,;:!?]"
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count ('' counts as 1 — same in the DuckDB oracle)."""
+    return F.size(F.split(F.trim(col), TOKEN_SPLIT))
+
+
+def bpeish_token_count(col: Column) -> Column:
+    """BPE-ish subword proxy: word pieces + digit runs + punctuation marks.
+
+    A cheap, deterministic stand-in for tokenizer counts when budgeting
+    LLM training data: splits on transitions rather than whitespace only.
+    """
+    pieces = F.split(
+        F.trim(col), r"(?<=[a-z])(?=[A-Z])|\s+|(?<=\D)(?=\d)|(?<=\d)(?=\D)"
+    )
+    return F.size(F.filter(pieces, lambda x: x != F.lit("")))
+
+
+def punct_count(col: Column) -> Column:
+    return F.length(F.regexp_replace(col, PUNCT_CLASS, ""))
+
+
+def stopword_count(col: Column) -> Column:
+    words = F.split(F.lower(col), TOKEN_SPLIT)
+    return F.size(F.filter(words, lambda x: x.isin(*STOPWORDS)))
+
+
+def quality_score(text: Column, n_chars: Column) -> Column:
+    """Length/punct/stopword quality heuristic in [0,1], rounded to 6dp.
+
+    Mirrors the shape of public web-corpus quality filters (length band,
+    symbol ratio, stopword presence) with exactly reproducible math.
+    """
+    tok = token_count(text).cast("double")
+    length_part = F.least(n_chars.cast("double"), F.lit(2000.0)) / 2000.0
+    punct_ratio = punct_count(text).cast("double") / F.greatest(
+        n_chars.cast("double"), F.lit(1.0)
+    )
+    stop_ratio = stopword_count(text).cast("double") / F.greatest(tok, F.lit(1.0))
+    score = 0.3 * length_part + 0.4 * (1.0 - punct_ratio) + 0.3 * stop_ratio
+    return F.round(score, 6)
+
+
+def md5_fingerprint(col: Column) -> Column:
+    """Exact-dup key: md5 of whitespace-normalized lowercase text."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(col)), TOKEN_SPLIT, " "))
+
+
+SHINGLE_LEN = 8
+
+
+def winnow_fingerprint(col: Column) -> Column:
+    """Rolling-hash document fingerprint: min md5 over all 8-char shingles.
+
+    The winnowing idea (Schleimer et al., SIGMOD'03) reduced to its
+    min-hash core; stable under small edits away from the min shingle.
+    Pure Catalyst: transform over a sequence of offsets, array_min.
+    """
+    n = F.greatest(F.length(col) - (SHINGLE_LEN - 1), F.lit(1))
+    offsets = F.sequence(F.lit(1), n)
+    hashes = F.transform(offsets, lambda i: F.md5(col.substr(i, F.lit(SHINGLE_LEN))))
+    return F.array_min(hashes)
+
+
+# ------------------------------------------------------------- language ID
+# marker-stopword sets per language (public-knowledge function words)
+LANG_MARKERS: dict[str, frozenset[str]] = {
+    "en": frozenset("the and of to in is it that for with".split()),
+    "fr": frozenset("le la les des et est dans pour que une".split()),
+    "de": frozenset("der die das und ist nicht mit für ein zu".split()),
+    "es": frozenset("el la los las es y en que por una".split()),
+    "zh": frozenset("的 是 了 在 我 有 和 不 这 人".split()),
+}
+_LANG_ORDER = sorted(LANG_MARKERS)  # deterministic tie-break
+
+
+@F.pandas_udf(T.StringType())
+def lang_id_udf(text: pd.Series) -> pd.Series:
+    """N-gram/marker-word language guess; 'und' when no marker hits.
+
+    Arrow-batched; set lookups over split words (C-level pandas ops where
+    possible). Ties break by language code order — deterministic.
+    """
+
+    def guess(s: str) -> str:
+        if not s:
+            return "und"
+        words = s.lower().split()
+        best_lang, best_hits = "und", 0
+        for lang in _LANG_ORDER:
+            hits = sum(1 for w in words if w in LANG_MARKERS[lang])
+            if hits > best_hits:
+                best_lang, best_hits = lang, hits
+        return best_lang
+
+    return text.map(guess)
+
+
+# ----------------------------------------------------------------- SimHash
+SIMHASH_BITS = 64
+
+
+def _word_hash64(word: str) -> int:
+    return int.from_bytes(hashlib.md5(word.encode()).digest()[:8], "big")
+
+
+def simhash64(s: str) -> int:
+    """Charikar SimHash over whitespace words (signed 64-bit result)."""
+    if not s:
+        return 0
+    acc = [0] * SIMHASH_BITS
+    for w in s.lower().split():
+        h = _word_hash64(w)
+        for b in range(SIMHASH_BITS):
+            acc[b] += 1 if (h >> b) & 1 else -1
+    out = 0
+    for b in range(SIMHASH_BITS):
+        if acc[b] > 0:
+            out |= 1 << b
+    return out - (1 << SIMHASH_BITS) if out >= 1 << (SIMHASH_BITS - 1) else out
+
+
+@F.pandas_udf(T.LongType())
+def simhash_udf(text: pd.Series) -> pd.Series:
+    return text.map(simhash64).astype("int64")
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signed columns (bit_count(xor))."""
+    return F.bit_count(a.bitwiseXOR(b))

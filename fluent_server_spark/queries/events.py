@@ -1,0 +1,229 @@
+"""Pipeline queries over the driver `events` table.
+
+FIXTURES.md §5 maps events onto the transcript pipeline for the DuckDB
+oracle checks: event_type plays the routing tag (the reference routes
+purely on tag, mirror/mirror.go:30-37), props the parseable text
+(<-> DecodeEntry, message/entry.go:11-35), user_id the group key. Same
+operators as plans/pipeline.py: vectorized parse, broadcast enrich,
+first-match route, per-sink aggregates, window stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fluent_server_spark.queries import QuerySpec, load_table
+
+# ---------------------------------------------------------------- routing
+# ordered, first-match-wins — tag-literal or '*' (cf. contrib/config/A.cfg)
+EVENT_ROUTES: list[tuple[str, str]] = [
+    ("error", "sink_errors"),
+    ("purchase", "sink_conversions"),
+    ("signup", "sink_conversions"),
+    ("click", "sink_traffic"),
+    ("view", "sink_traffic"),
+    ("*", "sink_default"),
+]
+
+# broadcast-enrich lookup (tag -> category/weight); inline VALUES in SQL
+EVENT_LOOKUP: list[tuple[str, str, int]] = [
+    ("error", "ops", 3),
+    ("purchase", "revenue", 10),
+    ("signup", "growth", 8),
+    ("click", "engagement", 1),
+    ("view", "engagement", 1),
+]
+
+_K_PATTERN = r'"k":\s*(\d+)'
+
+
+def _sink_case_sql(qual: str = "") -> str:
+    col = f"{qual}event_type"
+    lines = ["CASE"]
+    for tag, sink in EVENT_ROUTES:
+        if tag == "*":
+            lines.append(f"  ELSE '{sink}'")
+        else:
+            lines.append(f"  WHEN {col} = '{tag}' THEN '{sink}'")
+    lines.append("END")
+    return "\n".join(lines)
+
+
+def _lookup_values_sql() -> str:
+    rows = ", ".join(f"('{t}', '{c}', {w})" for t, c, w in EVENT_LOOKUP)
+    return f"(VALUES {rows}) AS lkp(event_type, category, weight)"
+
+
+def _routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse (props -> k) + enrich (broadcast lookup) + route (CASE chain)."""
+    events = load_table(spark, sf_dir, "events")
+    lookup = spark.createDataFrame(EVENT_LOOKUP, ["event_type", "category", "weight"])
+    sink = F
+    out = None
+    for tag, s in EVENT_ROUTES:
+        cond = F.lit(True) if tag == "*" else (F.col("event_type") == tag)
+        out = sink.when(cond, s) if out is None else out.when(cond, s)
+    return (
+        events.withColumn(
+            "k", F.regexp_extract(F.col("props"), _K_PATTERN, 1).cast("int")
+        )
+        .join(F.broadcast(lookup), "event_type", "left")
+        .withColumn("sink", out)
+    )
+
+
+def q_route_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _routed(spark, sf_dir).select(
+        "event_id", "event_type", "sink", "k", "category",
+        F.coalesce("weight", F.lit(0)).alias("weight"),
+    )
+
+
+SQL_ROUTE_EVENTS = f"""
+SELECT e.event_id, e.event_type,
+       {_sink_case_sql('e.')} AS sink,
+       TRY_CAST(regexp_extract(e.props, '{_K_PATTERN}', 1) AS INT) AS k,
+       lkp.category,
+       COALESCE(lkp.weight, 0) AS weight
+FROM events e
+LEFT JOIN {_lookup_values_sql()} ON e.event_type = lkp.event_type
+"""
+
+
+def q_routed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _routed(spark, sf_dir)
+        .groupBy("sink")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+SQL_ROUTED_EVENT_COUNTS = f"""
+SELECT sink, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+       round(sum(value), 2) AS sum_value, CAST(sum(k) AS BIGINT) AS sum_k
+FROM (
+  SELECT *, {_sink_case_sql()} AS sink,
+         TRY_CAST(regexp_extract(props, '{_K_PATTERN}', 1) AS INT) AS k
+  FROM events
+) GROUP BY sink
+"""
+
+
+def q_event_type_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _routed(spark, sf_dir)
+        .groupBy("sink", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_EVENT_TYPE_HISTOGRAM = f"""
+SELECT sink, event_type, count(*) AS n
+FROM (SELECT event_type, {_sink_case_sql()} AS sink FROM events)
+GROUP BY sink, event_type
+"""
+
+SESSION_GAP_S = 1800
+
+
+def q_user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap>30min starts a new session — lag + cumsum idiom.
+
+    Window on (user_id ORDER BY ts, event_id): one shuffle serves the
+    lag and the final groupBy (same partitioning key).
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts = F.col("ts").cast("timestamp")  # parquet NTZ -> TZ (session is UTC)
+    gap = F.unix_micros(ts) - F.lag(F.unix_micros(ts)).over(w)
+    return (
+        events.withColumn(
+            "new_sess",
+            F.when(gap.isNull() | (gap > SESSION_GAP_S * 1_000_000), 1).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("new_sess").alias("n_sessions"),
+            F.unix_micros(F.min(ts)).alias("first_ts_us"),
+            F.unix_micros(F.max(ts)).alias("last_ts_us"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+SQL_USER_SESSION_STATS = f"""
+SELECT user_id, count(*) AS n_events, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+       epoch_us(min(ts)) AS first_ts_us, epoch_us(max(ts)) AS last_ts_us,
+       round(sum(value), 2) AS sum_value
+FROM (
+  SELECT *, CASE WHEN gap_us IS NULL OR gap_us > {SESSION_GAP_S} * 1000000
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM (
+    SELECT *, epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+  )
+) GROUP BY user_id
+"""
+
+
+def q_top3_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        events.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("event_type", "rk", "event_id", "value")
+    )
+
+
+SQL_TOP3_EVENTS_PER_TYPE = """
+SELECT event_type, rk, event_id, value
+FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rk
+  FROM events
+) WHERE rk <= 3
+"""
+
+
+def q_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed rollup — the batch face of a streaming windowed agg."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+SQL_HOURLY_EVENT_ROLLUP = """
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+       count(*) AS n, round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "route_events": QuerySpec(q_route_events, SQL_ROUTE_EVENTS),
+    "routed_event_counts": QuerySpec(q_routed_event_counts, SQL_ROUTED_EVENT_COUNTS),
+    "event_type_histogram": QuerySpec(q_event_type_histogram, SQL_EVENT_TYPE_HISTOGRAM),
+    "user_session_stats": QuerySpec(q_user_session_stats, SQL_USER_SESSION_STATS),
+    "top3_events_per_type": QuerySpec(q_top3_events_per_type, SQL_TOP3_EVENTS_PER_TYPE),
+    "hourly_event_rollup": QuerySpec(q_hourly_event_rollup, SQL_HOURLY_EVENT_ROLLUP),
+}

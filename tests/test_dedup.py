@@ -1,0 +1,86 @@
+"""Dedup operators on a corpus with PLANTED duplicates — exact baselines
+pin the semantics of the approximate (rows-only-for-the-driver) ops."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_server_spark.operators.dedup import (
+    dedup_keep_first,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog while the crew ships a "
+    "spark pipeline that parses enriches routes and aggregates transcript "
+    "turns across many partitions of a very large iceberg table"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    words = _BASE.split()
+    rows = []
+    # 0/1: byte-identical after normalization (exact dups)
+    rows.append((0, _BASE))
+    rows.append((1, "  " + _BASE.upper().lower() + " "))
+    # 2: near-dup of 0 (one word changed) -> high jaccard
+    rows.append((2, _BASE.replace("lazy", "sleepy")))
+    # 3: half overlap
+    rows.append((3, " ".join(words[: len(words) // 2]) + " entirely new tail "
+                 + "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    # 4..23: unrelated
+    for i in range(4, 24):
+        rows.append((i, " ".join(f"tok{i}_{j} f{i}_{j%7}" for j in range(40))))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(corpus):
+    out = {r.keep_id: r.n_dups for r in exact_dedup(corpus).collect()}
+    assert out[0] == 2  # docs 0 and 1 collapse
+    assert sum(out.values()) == 24
+    kept = dedup_keep_first(corpus)
+    assert kept.count() == 23
+    assert kept.filter(F.col("doc_id") == 1).count() == 0
+
+
+def test_exact_jaccard_finds_planted_pairs(corpus):
+    pairs = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in ngram_jaccard_pairs(corpus, threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.7
+    assert (1, 2) in pairs
+    assert all(a < 4 and b < 4 for a, b in pairs)  # no false positives
+
+
+def test_minhash_lsh_matches_exact_baseline(corpus):
+    """Scale-path recall: every exact pair above threshold must be found,
+    and verified jaccard values are identical (exact verify stage)."""
+    exact = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in ngram_jaccard_pairs(corpus, threshold=0.3).collect()
+    }
+    lsh = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in minhash_lsh_pairs(corpus, threshold=0.3).collect()
+    }
+    # precision is exact by construction (candidates re-verified)
+    assert set(lsh) <= set(exact)
+    # recall on strong pairs (>=0.5) must be total
+    strong = {k for k, v in exact.items() if v >= 0.5}
+    assert strong <= set(lsh)
+    for k in lsh:
+        assert lsh[k] == exact[k]
+
+
+def test_simhash_finds_near_identical(corpus):
+    pairs = {(r.a_id, r.b_id): r.hamming for r in simhash_pairs(corpus, max_hamming=8).collect()}
+    assert pairs.get((0, 1)) == 0  # identical docs -> identical simhash
+    assert (0, 2) in pairs  # one-word edit -> small hamming
+    assert all(a < 4 and b < 4 for a, b in pairs)

@@ -1,0 +1,104 @@
+"""Similarity search vs a numpy oracle + LSH recall vs brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_server_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    cosine_neardup_pairs,
+    lsh_topk,
+    with_lsh_bucket,
+)
+
+DIM = 16
+N = 120
+
+
+@pytest.fixture(scope="module")
+def vecs():
+    rng = np.random.RandomState(7)
+    # 6 clusters -> plenty of high-cosine neighbors
+    centers = rng.randn(6, DIM) * 3
+    pts = np.vstack([c + rng.randn(N // 6, DIM) * 0.4 for c in centers])
+    return pts.astype(np.float64)
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark, vecs):
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _np_topk(vecs, qids, k):
+    norms = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norms @ norms.T
+    out = {}
+    for q in qids:
+        order = [
+            i for i in np.lexsort((np.arange(N), -sims[q])) if i != q
+        ][:k]
+        out[q] = order
+    return out
+
+
+def test_bruteforce_matches_numpy(spark, vec_df, vecs):
+    qids = list(range(5))
+    want = _np_topk(vecs, qids, 5)
+    got = brute_force_topk(
+        vec_df.filter(F.col("vec_id") < 5), vec_df, k=5
+    ).collect()
+    by_q: dict[int, list[int]] = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rk)):
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert {q: v for q, v in by_q.items()} == {q: list(map(int, v)) for q, v in want.items()}
+
+
+def test_cosine_values_match_numpy(spark, vec_df, vecs):
+    row = (
+        vec_df.alias("a")
+        .crossJoin(vec_df.alias("b"))
+        .filter((F.col("a.vec_id") == 0) & (F.col("b.vec_id") == 1))
+        .select(cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"))
+        .first()
+    )
+    want = float(
+        vecs[0] @ vecs[1] / (np.linalg.norm(vecs[0]) * np.linalg.norm(vecs[1]))
+    )
+    assert abs(row.cos - want) < 1e-12
+
+
+def test_neardup_pairs_symmetric_threshold(spark, vec_df, vecs):
+    got = {(r.a_id, r.b_id) for r in cosine_neardup_pairs(vec_df, 0.9).collect()}
+    norms = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norms @ norms.T
+    want = {
+        (a, b)
+        for a in range(N)
+        for b in range(a + 1, N)
+        if sims[a, b] >= 0.9
+    }
+    assert got == want
+
+
+def test_lsh_recall_on_clustered_data(spark, vec_df, vecs):
+    """Bucketed ANN must recover most true neighbors on clustered data
+    (same-cluster points nearly always share a hyperplane signature)."""
+    k = 5
+    queries = vec_df.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(queries, vec_df, k=k).collect()
+    approx = lsh_topk(queries, vec_df, dim=DIM, k=k, n_planes=4).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.7, f"LSH recall too low: {recall}"
+
+
+def test_lsh_bucket_is_narrow_plan(spark, vec_df):
+    """Bucketing must not introduce a shuffle — it's a projection."""
+    bucketed = with_lsh_bucket(vec_df, dim=DIM, n_planes=4)
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
