@@ -1,0 +1,196 @@
+"""Benchmark harness — the driver runs this per-round (BENCH_r{N}.json).
+
+Measures (1) headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS], each fully materialized via the noop sink, and
+(2) the flagship end-to-end pipeline over a pre-materialized synthetic
+turns parquet table (read -> vectorized parse -> broadcast enrich ->
+first-match route -> partitioned parquet sinks + checkpoint commit) as
+parsed+routed turns/sec — the BASELINE.json metric. Input
+materialization is NOT timed: the metric is defined over a stored
+transcript table, matching the 10^12-turn Iceberg design point.
+
+Scale-honesty knobs (see BENCH/BASELINE.md):
+* scan splits sized to cores (`spark.sql.files.maxPartitionBytes`) —
+  the 128 MB default packs a small local table into ~5 splits and
+  silently caps parallelism;
+* `-XX:ActiveProcessorCount` pinned to the requested cores so a
+  local[4] JVM cannot borrow the other 28 cores for GC/JIT;
+* work dir defaults to tmpfs ($BENCH_WORK or /dev/shm) — on a real
+  cluster storage bandwidth scales with executors; a single local disk
+  would serialize the sink write and measure the disk, not the engine.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total query sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "pipeline": {...}}
+
+Usage: python bench.py [--cpus N] [--rows N] [--skip-queries] [--sf-dir D]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE_QUERIES = [
+    "route_events",
+    "routed_event_counts",
+    "event_type_histogram",
+    "user_session_stats",
+    "top3_events_per_type",
+    "hourly_event_rollup",
+    "pricing_summary",
+    "top_revenue_orders",
+    "region_revenue",
+    "supplier_part_rollup",
+    "exact_dedup_docs",
+    "doc_token_stats",
+    "doc_fingerprints",
+    "minhash_neardup_pairs",
+    "simhash_neardup_pairs",
+    "embedding_neardup_pairs",
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+]
+
+PIPELINE_ROWS_DEFAULT = 5_000_000
+
+
+def default_work_dir() -> str:
+    env = os.environ.get("BENCH_WORK")
+    if env:
+        return env
+    return "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+
+
+def time_query(spark, fn, sf_dir: str) -> float:
+    t0 = time.time()
+    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    return round(time.time() - t0, 3)
+
+
+def materialize_turns(spark, work_root: str, n_rows: int, n_convs: int) -> str:
+    """Write (once, untimed) the synthetic turns table the bench reads."""
+    from fluent_server_spark.data.synth import synth_turns_spark
+
+    src = os.path.join(work_root, f"fss-turns-{n_rows}-{n_convs}.parquet")
+    if not os.path.exists(src):
+        synth_turns_spark(
+            spark, n_rows, n_convs=n_convs, partitions=max(64, n_rows // 500_000)
+        ).write.mode("overwrite").parquet(src)
+    return src
+
+
+def run_pipeline_bench(
+    spark, n_rows: int, n_convs: int, work_root: str, variants: bool = True
+) -> dict:
+    from fluent_server_spark.plans.pipeline import PipelineConfig, TranscriptPipeline
+
+    src = materialize_turns(spark, work_root, n_rows, n_convs)
+    turns = spark.read.parquet(src)
+    work = tempfile.mkdtemp(prefix="fss-bench-", dir=work_root)
+    try:
+        cfg = PipelineConfig(
+            sinks_path=f"{work}/sinks",
+            checkpoint_path=f"{work}/ckpt.jsonl",
+            parse_impl="native",
+            n_buckets=64,
+            n_salt=8,
+            checkpoint_groups=1,
+            codec="snappy",  # bench: cheapest CPU; zstd is the at-rest default
+        )
+        pipe = TranscriptPipeline(spark, cfg)
+        t0 = time.time()
+        pipe.run(turns, run_id="bench")
+        wall = time.time() - t0
+        base = {
+            "rows": n_rows,
+            "wall_sec": round(wall, 3),
+            "turns_per_sec": round(n_rows / wall, 1),
+        }
+        if not variants:
+            return base
+        cfg_p = PipelineConfig(
+            sinks_path=f"{work}/sinks2",
+            checkpoint_path=f"{work}/ckpt2.jsonl",
+            parse_impl="pandas",
+        )
+        pipe_p = TranscriptPipeline(spark, cfg_p)
+        t1 = time.time()
+        pipe_p.transform(turns).write.mode("overwrite").format("noop").save()
+        wall_pandas = time.time() - t1
+        t2 = time.time()
+        pipe.transform(turns).write.mode("overwrite").format("noop").save()
+        wall_native_noop = time.time() - t2
+        return {
+            **base,
+            "noop_native_sec": round(wall_native_noop, 3),
+            "noop_native_turns_per_sec": round(n_rows / wall_native_noop, 1),
+            "noop_pandas_parse_sec": round(wall_pandas, 3),
+            "noop_pandas_parse_turns_per_sec": round(n_rows / wall_pandas, 1),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--rows", type=int, default=PIPELINE_ROWS_DEFAULT)
+    ap.add_argument("--convs", type=int, default=50_000)
+    ap.add_argument("--skip-queries", action="store_true")
+    ap.add_argument("--skip-pipeline", action="store_true")
+    ap.add_argument("--no-variants", action="store_true")
+    ap.add_argument("--work-dir", default=default_work_dir())
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    args = ap.parse_args()
+
+    from fluent_server_spark.queries import all_queries
+    from fluent_server_spark.session import get_spark
+
+    spark = get_spark(
+        "fss-bench",
+        cpus=args.cpus,
+        shuffle_partitions=2 * args.cpus,  # over-partition: smaller sort/write tasks, no spill
+        extra_conf={
+            "spark.driver.extraJavaOptions": f"-XX:ActiveProcessorCount={args.cpus}",
+            "spark.sql.files.maxPartitionBytes": "16m",
+        },
+    )
+
+    queries: dict[str, float] = {}
+    if not args.skip_queries:
+        specs = all_queries()
+        for name in HEADLINE_QUERIES:
+            queries[name] = time_query(spark, specs[name].fn, args.sf_dir)
+
+    pipeline: dict = {}
+    if not args.skip_pipeline:
+        pipeline = run_pipeline_bench(
+            spark, args.rows, args.convs, args.work_dir, variants=not args.no_variants
+        )
+
+    sf = args.sf_dir.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "parsed+routed turns/sec end-to-end (pipeline) + headline query secs",
+        "value": round(sum(queries.values()), 3) if queries else pipeline.get("wall_sec"),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": args.cpus,
+        "pipeline": pipeline,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,126 @@
+"""As-of (nearest-earlier) join — a standard timeseries operator Spark
+lacks natively (listed in the public PySpark guide's OLAP patterns).
+
+Use case here: attach the most recent config/model snapshot to each
+transcript turn ("which policy version was live when this turn ran").
+
+Two implementations:
+
+* :func:`asof_join_bucketed` — pure DataFrame composition (the scale
+  path): bucketize time, equi-join on (key, bucket) with the right side
+  exploded into every bucket from its effective time to the next
+  version's bucket, then keep the max ts_right <= ts_left via window.
+  For bounded version tables (the common case: few versions per key)
+  the explode is tiny and everything is a hash join — no cross join.
+* :func:`asof_join_pandas` — `pd.merge_asof` per key group via
+  applyInPandas: exact same semantics, used as the oracle in tests and
+  the fallback for unbounded right sides.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "conv_id",
+    value_cols: tuple[str, ...] = ("version",),
+) -> DataFrame:
+    """merge_asof (backward) per `by` group. Arrow-batched; one shuffle
+    on `by` for both sides (cogroup)."""
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in left.schema.fields]
+        + [
+            f"`{c}` {dict((f.name, f.dataType.simpleString()) for f in right.schema.fields)[c]}"
+            for c in value_cols
+        ]
+    )
+    on_, by_, vals = on, by, list(value_cols)
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        l = l.sort_values(on_)
+        r = r.sort_values(on_)[[on_, by_, *vals]]
+        if r.empty:
+            for c in vals:
+                l[c] = None
+            return l
+        return pd.merge_asof(l, r, on=on_, by=by_, direction="backward")
+
+    return left.groupBy(by).cogroup(right.groupBy(by)).applyInPandas(
+        lambda l, r: merge(l, r), schema=out_schema
+    )
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "conv_id",
+    value_cols: tuple[str, ...] = ("version",),
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Composition-of-builtins as-of join.
+
+    Right rows are forward-filled across time buckets (each version is
+    valid from its bucket until the next version's bucket), then a plain
+    equi-join on (by, bucket) + a per-left-row max-ts<=ts filter gives
+    nearest-earlier semantics. Shuffles: one per side on (by, bucket) —
+    the same cost as any co-partitioned join; no window over the fact
+    table beyond the final dedup, no cross join.
+    """
+    dur = F.expr(f"INTERVAL {bucket}")
+    lb = left.withColumn("_b", F.window(F.col(on), bucket)["start"]).withColumn(
+        "_lid", F.monotonically_increasing_id()
+    )
+    # right side: explode each version over the buckets it covers
+    w_next = Window.partitionBy(by).orderBy(on)
+    rb = (
+        right.withColumn("_start", F.window(F.col(on), bucket)["start"])
+        .withColumn("_next", F.lead("_start").over(w_next))
+    )
+    # max buckets any version must cover: until next version (or left max)
+    max_b = lb.agg(F.max("_b")).first()[0]
+    rb = rb.withColumn(
+        "_end", F.coalesce(F.col("_next"), F.lit(max_b).cast("timestamp"))
+    ).filter(F.col("_end") >= F.col("_start"))
+    rb = rb.withColumn(
+        "_b", F.explode(F.sequence(F.col("_start"), F.col("_end"), dur))
+    )
+    r_named = rb.select(
+        F.col(by).alias("_rby"),
+        F.col("_b"),
+        F.col(on).alias("_rts"),
+        *[F.col(c) for c in value_cols],
+    )
+    joined = lb.join(
+        r_named,
+        (lb[by] == r_named["_rby"]) & (lb["_b"] == r_named["_b"]),
+        "left",
+    )
+    # a version later in the same bucket is not a match — mark invalid
+    # rather than filter (filtering would drop left rows whose only
+    # bucket-mates are later versions)
+    valid = F.col("_rts") <= F.col(on)
+    joined = joined.withColumn(
+        "_rts_valid", F.when(valid, F.col("_rts"))
+    )
+    # keep the latest VALID right row per left row (unique _lid)
+    w_pick = Window.partitionBy(F.col("_lid")).orderBy(
+        F.col("_rts_valid").desc_nulls_last()
+    )
+    picked = (
+        joined.withColumn("_rn", F.row_number().over(w_pick))
+        .filter(F.col("_rn") == 1)
+    )
+    return picked.select(
+        *[lb[c] for c in left.columns],
+        *[
+            F.when(F.col("_rts_valid").isNotNull(), F.col(c)).alias(c)
+            for c in value_cols
+        ],
+    )

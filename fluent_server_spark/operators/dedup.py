@@ -102,7 +102,9 @@ def ngram_jaccard_pairs(
 
 # ------------------------------------------------------------- MinHash LSH
 
-_MERSENNE = (1 << 61) - 1
+_MERSENNE = (1 << 31) - 1  # 31-bit field: a*h + b stays < 2^62, so the
+# arithmetic can never overflow int64 — safe under ANSI mode (the driver's
+# verify session may have ANSI on; 2^61-1 coefficients would throw there)
 
 
 def minhash_signature(
@@ -121,7 +123,8 @@ def minhash_signature(
         )
         for i in range(n_perm)
     ]
-    h = F.transform(shingles, lambda s: F.abs(F.xxhash64(s)) % _MERSENNE)
+    # pmod (not abs%) — abs(Long.MIN_VALUE) overflows under ANSI
+    h = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
     mins = [
         F.array_min(
             F.transform(h, lambda x: (x * F.lit(a) + F.lit(b)) % _MERSENNE)

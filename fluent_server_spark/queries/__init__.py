@@ -24,11 +24,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def ntz_micros(col):
+    """Epoch-µs of a parquet TIMESTAMP_NTZ *Column*, independent of the
+    session timezone (the driver's verify session may not be UTC; a
+    cast-to-TIMESTAMP + unix_micros would shift by the session offset and
+    break oracle parity with DuckDB's naive epoch_us)."""
+    from pyspark.sql import functions as F
+
+    return F.timestamp_diff(
+        "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), col
+    )
+
+
 def all_queries() -> dict[str, QuerySpec]:
-    from fluent_server_spark.queries import docs, events, tpch, vectors
+    from fluent_server_spark.queries import docs, events, media, tpch, vectors
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (events, tpch, docs, vectors):
+    for mod in (events, tpch, docs, vectors, media):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

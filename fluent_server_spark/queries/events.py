@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from fluent_server_spark.queries import QuerySpec, load_table
+from fluent_server_spark.queries import QuerySpec, load_table, ntz_micros
 
 # ---------------------------------------------------------------- routing
 # ordered, first-match-wins — tag-literal or '*' (cf. contrib/config/A.cfg)
@@ -66,7 +66,10 @@ def _routed(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = sink.when(cond, s) if out is None else out.when(cond, s)
     return (
         events.withColumn(
-            "k", F.regexp_extract(F.col("props"), _K_PATTERN, 1).cast("int")
+            "k",
+            # try_cast: '' on no-match must quarantine to NULL, not blow up
+            # under the driver session's ANSI mode
+            F.regexp_extract(F.col("props"), _K_PATTERN, 1).try_cast("int"),
         )
         .join(F.broadcast(lookup), "event_type", "left")
         .withColumn("sink", out)
@@ -140,8 +143,8 @@ def q_user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ts = F.col("ts").cast("timestamp")  # parquet NTZ -> TZ (session is UTC)
-    gap = F.unix_micros(ts) - F.lag(F.unix_micros(ts)).over(w)
+    ts_us = ntz_micros(F.col("ts"))  # tz-independent (driver session != UTC)
+    gap = ts_us - F.lag(ts_us).over(w)
     return (
         events.withColumn(
             "new_sess",
@@ -151,8 +154,8 @@ def q_user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("new_sess").alias("n_sessions"),
-            F.unix_micros(F.min(ts)).alias("first_ts_us"),
-            F.unix_micros(F.max(ts)).alias("last_ts_us"),
+            ntz_micros(F.min("ts")).alias("first_ts_us"),
+            ntz_micros(F.max("ts")).alias("last_ts_us"),
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
@@ -202,7 +205,7 @@ def q_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(
-            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+            ntz_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
             "event_type",
         )
         .agg(
@@ -219,8 +222,94 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per event_type (Spark `percentile` == SQL
+    quantile_cont, linear interpolation). The scale path swaps in
+    percentile_approx (t-digest) — approximate by design, so the exact
+    variant is the oracle-checked one."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+SQL_EVENT_VALUE_QUANTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+def q_dedup_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window dedup: first event per (user_id, event_type, day) by ts —
+    the keep-first idiom over a composite business key."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))  # NTZ in, NTZ out: tz-independent
+    w = Window.partitionBy("user_id", "event_type", day.alias("day")).orderBy(
+        "ts", "event_id"
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+SQL_DEDUP_EVENTS_WINDOW = """
+SELECT event_id, user_id, event_type
+FROM (
+  SELECT event_id, user_id, event_type,
+         row_number() OVER (PARTITION BY user_id, event_type, date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_event_type_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: (user, day) pairs with a purchase but no error that
+    day — EXCEPT via left-anti join, the formulation that scales (anti
+    join on the grouped keys instead of materializing both distinct sets
+    through a union-based EXCEPT)."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    buyers = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", day)
+        .distinct()
+    )
+    erroring = (
+        events.filter(F.col("event_type") == "error")
+        .select("user_id", day)
+        .distinct()
+    )
+    return buyers.join(erroring, ["user_id", "day"], "left_anti").select(
+        "user_id", ntz_micros(F.col("day")).alias("day_us")
+    )
+
+
+SQL_EVENT_TYPE_SET_OPS = """
+SELECT user_id, epoch_us(day) AS day_us FROM (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+  FROM events WHERE event_type = 'purchase'
+  EXCEPT
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+  FROM events WHERE event_type = 'error'
+)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "route_events": QuerySpec(q_route_events, SQL_ROUTE_EVENTS),
+    "event_value_quantiles": QuerySpec(
+        q_event_value_quantiles, SQL_EVENT_VALUE_QUANTILES
+    ),
+    "dedup_events_window": QuerySpec(q_dedup_events_window, SQL_DEDUP_EVENTS_WINDOW),
+    "event_type_set_ops": QuerySpec(q_event_type_set_ops, SQL_EVENT_TYPE_SET_OPS),
     "routed_event_counts": QuerySpec(q_routed_event_counts, SQL_ROUTED_EVENT_COUNTS),
     "event_type_histogram": QuerySpec(q_event_type_histogram, SQL_EVENT_TYPE_HISTOGRAM),
     "user_session_stats": QuerySpec(q_user_session_stats, SQL_USER_SESSION_STATS),

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fluent_server_spark.queries import QuerySpec, load_table
+from fluent_server_spark.queries import QuerySpec, load_table, ntz_micros
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,9 +68,7 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select(
             "l_orderkey",
-            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
-                "o_orderdate_us"
-            ),
+            ntz_micros(F.col("o_orderdate")).alias("o_orderdate_us"),
             "revenue",
         )
     )
@@ -182,8 +180,38 @@ GROUP BY ROLLUP (n_name, p_brand)
 """
 
 
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def q_nation_segment_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: customer counts per nation x market segment (wide table)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .pivot("c_mktsegment", SEGMENTS)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, SEGMENTS)
+    )
+
+
+_PIVOT_COLS = ",\n       ".join(
+    f"CAST(count(*) FILTER (c_mktsegment = '{s}') AS BIGINT) AS {s}" for s in SEGMENTS
+)
+SQL_NATION_SEGMENT_PIVOT = f"""
+SELECT n_name,
+       {_PIVOT_COLS}
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(q_pricing_summary, SQL_PRICING_SUMMARY),
+    "nation_segment_pivot": QuerySpec(
+        q_nation_segment_pivot, SQL_NATION_SEGMENT_PIVOT
+    ),
     "top_revenue_orders": QuerySpec(q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
     "region_revenue": QuerySpec(q_region_revenue, SQL_REGION_REVENUE),
     "order_priority_counts": QuerySpec(

@@ -1,0 +1,108 @@
+"""Structured Streaming face of the pipeline.
+
+The reference IS a streaming system (TCP sessions feeding a handler,
+reference: server/server.go:97-115, message/session.go:65-77); our north
+rule makes batch-over-Iceberg primary, but the same transform graph runs
+unchanged under readStream — this module proves it:
+
+* source: file stream over a turns directory (new parquet files play the
+  role of new fluent-forward connections; on a real deployment this is
+  Kafka or an Iceberg streaming read);
+* transform: the IDENTICAL parse -> enrich -> route used in batch
+  (plans/pipeline.py transform is reused verbatim — one code path, two
+  execution modes);
+* sinks: foreachBatch writing the same partitioned layout (exactly-once
+  per micro-batch via the batch writer's dynamic overwrite + epoch id),
+  or a memory sink for tests;
+* late data: watermark on ts + windowed per-sink counts — the aggregate
+  the mirror served over HTTP (mirror/mirror.go:41-47), continuously
+  maintained.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fluent_server_spark.data.synth import ROUTE_RULE_ROWS, lookup_df
+from fluent_server_spark.functions.parse import parse_turns
+from fluent_server_spark.operators.enrich import enrich_turns
+from fluent_server_spark.operators.route import route_turns, rules_from_rows
+
+TURNS_DDL = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def stream_routed(
+    spark: SparkSession,
+    source_dir: str,
+    parse_impl: str = "native",
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """readStream over a turns dir -> the same routed DataFrame as batch."""
+    stream = (
+        spark.readStream.schema(TURNS_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    parsed = parse_turns(stream, impl=parse_impl)
+    enriched = enrich_turns(parsed, lookup_df(spark))
+    return route_turns(enriched, rules_from_rows(ROUTE_RULE_ROWS))
+
+
+def windowed_sink_counts(
+    routed: DataFrame, window: str = "1 minute", watermark: str = "2 minutes"
+) -> DataFrame:
+    """Watermarked per-(window, sink) counts — late rows beyond the
+    watermark are dropped from the aggregate, the streaming analogue of
+    the mirror's always-growing per-tag counters."""
+    return (
+        routed.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "sink")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.approx_count_distinct("conv_id").alias("n_convs_approx"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "sink",
+            "n_turns",
+            "n_convs_approx",
+        )
+    )
+
+
+def run_stream_once(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    queryName: str = "fss_stream",
+    mode: str = "append",
+    aggregated: bool = False,
+) -> DataFrame:
+    """Drive the stream to completion over currently-available files
+    (processAllAvailable) into a memory sink; returns the result table.
+
+    Test harness — production would writeStream.foreachBatch into the
+    partitioned sink layout with the batch writer."""
+    routed = stream_routed(spark, source_dir)
+    out = (
+        windowed_sink_counts(routed)
+        if aggregated
+        else routed.select("conv_id", "turn_idx", "text", "sink")
+    )
+    q = (
+        out.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {queryName}")

@@ -55,13 +55,32 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str | None:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--driver-like"]
+    driver_like = "--driver-like" in sys.argv
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as E
-    from fluent_server_spark.session import get_spark
 
-    spark = get_spark("check_entry", cpus=8)
+    if driver_like:
+        # adversarial stand-in for the driver's own session: ANSI on,
+        # non-UTC timezone, default shuffle partitions — queries must
+        # still match the oracle under a session we don't control
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check_entry_driverlike")
+            .config("spark.sql.ansi.enabled", "true")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        from fluent_server_spark.session import get_spark
+
+        spark = get_spark("check_entry", cpus=8)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

@@ -1,0 +1,69 @@
+"""Streaming face: the batch transform graph run under readStream must
+route identically to the batch oracle, and the watermarked windowed agg
+must match batch window counts when nothing is late."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from fluent_server_spark.data.synth import synth_turns_pandas
+from fluent_server_spark.oracle.pandas_oracle import oracle_pipeline
+from fluent_server_spark.streaming.stream_pipeline import run_stream_once
+
+
+@pytest.fixture(scope="module")
+def stream_src(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("stream")
+    pdf = synth_turns_pandas(1500, n_convs=30)
+    # three "arrivals" (files) — micro-batches pick them up incrementally
+    for i, chunk in enumerate((pdf[:500], pdf[500:1000], pdf[1000:])):
+        spark.createDataFrame(chunk).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(base / "turns"))
+    return str(base / "turns"), pdf, str(base)
+
+
+def test_stream_routes_like_batch(spark, stream_src):
+    src, pdf, base = stream_src
+    got = (
+        run_stream_once(spark, src, f"{base}/ckpt-rows", queryName="s_rows")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        oracle_pipeline(pdf)[["conv_id", "turn_idx", "text", "sink"]]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_windowed_counts_match_batch(spark, stream_src):
+    src, pdf, base = stream_src
+    got = (
+        run_stream_once(
+            spark,
+            src,
+            f"{base}/ckpt-agg",
+            queryName="s_agg",
+            mode="complete",
+            aggregated=True,
+        )
+        .toPandas()
+        .sort_values(["win_start", "sink"])
+        .reset_index(drop=True)
+    )
+    routed = oracle_pipeline(pdf)
+    routed = routed.assign(win_start=routed.ts.dt.floor("1min"))
+    want = (
+        routed.groupby(["win_start", "sink"])
+        .size()
+        .rename("n_turns")
+        .reset_index()
+        .sort_values(["win_start", "sink"])
+        .reset_index(drop=True)
+    )
+    got2 = got[["win_start", "sink", "n_turns"]]
+    pd.testing.assert_frame_equal(got2, want, check_dtype=False)
