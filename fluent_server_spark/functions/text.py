@@ -97,28 +97,35 @@ LANG_MARKERS: dict[str, frozenset[str]] = {
     "zh": frozenset("的 是 了 在 我 有 和 不 这 人".split()),
 }
 _LANG_ORDER = sorted(LANG_MARKERS)  # deterministic tie-break
+import re as _re
+
+_LANG_RES = {
+    lang: _re.compile(
+        r"(?:^|\s)(?:" + "|".join(map(_re.escape, sorted(markers))) + r")(?=\s|$)"
+    )
+    for lang, markers in LANG_MARKERS.items()
+}
 
 
 @F.pandas_udf(T.StringType())
 def lang_id_udf(text: pd.Series) -> pd.Series:
-    """N-gram/marker-word language guess; 'und' when no marker hits.
+    """Marker-word language guess; 'und' when no marker hits.
 
-    Arrow-batched; set lookups over split words (C-level pandas ops where
-    possible). Ties break by language code order — deterministic.
+    Fully vectorized: one compiled-regex `str.count` pass per language
+    over the whole Arrow batch (C loop), then a numpy argmax — no
+    per-row Python. Ties break by language code order (argmax takes the
+    first maximum over the sorted language axis) — deterministic.
     """
+    import numpy as np
 
-    def guess(s: str) -> str:
-        if not s:
-            return "und"
-        words = s.lower().split()
-        best_lang, best_hits = "und", 0
-        for lang in _LANG_ORDER:
-            hits = sum(1 for w in words if w in LANG_MARKERS[lang])
-            if hits > best_hits:
-                best_lang, best_hits = lang, hits
-        return best_lang
-
-    return text.map(guess)
+    low = text.fillna("").str.lower()
+    counts = np.stack(
+        [low.str.count(_LANG_RES[lang]).to_numpy() for lang in _LANG_ORDER]
+    )
+    best = counts.argmax(axis=0)
+    hit = counts.max(axis=0) > 0
+    langs = np.asarray(_LANG_ORDER)[best]
+    return pd.Series(np.where(hit, langs, "und"), index=text.index)
 
 
 # ----------------------------------------------------------------- SimHash
@@ -147,7 +154,37 @@ def simhash64(s: str) -> int:
 
 @F.pandas_udf(T.LongType())
 def simhash_udf(text: pd.Series) -> pd.Series:
-    return text.map(simhash64).astype("int64")
+    """Vectorized SimHash over the Arrow batch.
+
+    Python touches each UNIQUE word once (vocabulary-bounded md5); the
+    per-document work — bit expansion, +-1 accumulation, sign — is numpy
+    over the exploded (doc, word) table. Matches simhash64 exactly.
+    """
+    import numpy as np
+
+    words = text.fillna("").str.lower().str.split()
+    exploded = words.explode().dropna()
+    if exploded.empty:
+        return pd.Series(0, index=text.index, dtype="int64")
+    vocab = pd.unique(exploded)
+    h = np.fromiter(
+        (_word_hash64(w) for w in vocab), dtype=np.uint64, count=len(vocab)
+    )
+    word_bits = (
+        (h[:, None] >> np.arange(SIMHASH_BITS, dtype=np.uint64)) & np.uint64(1)
+    ).astype(np.int64) * 2 - 1  # (vocab, 64) in {-1, +1}
+    word_idx = pd.Series(np.arange(len(vocab)), index=vocab)
+    doc_pos = exploded.index.to_numpy()  # original row label per word
+    contrib = word_bits[word_idx[exploded.to_numpy()].to_numpy()]
+    acc = pd.DataFrame(contrib, index=doc_pos).groupby(level=0).sum()
+    sig_u = (
+        ((acc.to_numpy() > 0).astype(np.uint64))
+        << np.arange(SIMHASH_BITS, dtype=np.uint64)
+    ).sum(axis=1, dtype=np.uint64)
+    out_np = np.zeros(len(text), dtype=np.int64)
+    pos = text.index.get_indexer(acc.index)
+    out_np[pos] = sig_u.view(np.int64)  # reinterpret: two's-complement wrap
+    return pd.Series(out_np, index=text.index)
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -147,8 +147,64 @@ def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", lang_id_udf(F.col("text")).alias("lang_guess"))
 
 
+QUALITY_MIN = 0.5
+TOKENS_MIN, TOKENS_MAX = 20, 1000
+
+
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning pass: exact-dedup (keep min
+    doc_id per normalized text) + token-length band + quality threshold.
+    One window + narrow filters — the shape of a real corpus-prep job."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        token_count(text).alias("n_tokens"),
+        quality_score(text, F.col("n_chars")).alias("quality"),
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+        ).alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(
+            (F.col("rn") == 1)
+            & (F.col("n_tokens").between(TOKENS_MIN, TOKENS_MAX))
+            & (F.col("quality") >= QUALITY_MIN)
+        )
+        .select("doc_id", "lang", "n_tokens", "quality")
+    )
+
+
+SQL_CLEAN_CORPUS = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         round(0.3 * least(CAST(n_chars AS DOUBLE), 2000.0) / 2000.0
+             + 0.4 * (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                            / greatest(CAST(n_chars AS DOUBLE), 1.0))
+             + 0.3 * CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                          x -> x IN ({_STOP_IN}))) AS DOUBLE)
+                     / greatest(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE), 1.0),
+             6) AS quality,
+         {_NORM_SQL} AS fp,
+         row_number() OVER (PARTITION BY {_NORM_SQL} ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens, quality
+FROM scored
+WHERE rn = 1 AND n_tokens BETWEEN {TOKENS_MIN} AND {TOKENS_MAX}
+  AND quality >= {QUALITY_MIN}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "exact_dedup_docs": QuerySpec(q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
+    "clean_corpus": QuerySpec(q_clean_corpus, SQL_CLEAN_CORPUS),
     "doc_token_stats": QuerySpec(q_doc_token_stats, SQL_DOC_TOKEN_STATS),
     "doc_fingerprints": QuerySpec(q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
     "lang_source_rollup": QuerySpec(q_lang_source_rollup, SQL_LANG_SOURCE_ROLLUP),

@@ -58,8 +58,11 @@ def main() -> int:
 
     best: dict[int, dict] = {}
     runs: dict[int, list[float]] = {args.n: [], args.n4: []}
-    for cpus in (args.n, args.n4):
-        for _ in range(args.repeats):
+    # INTERLEAVED: host CPU steal drifts on minute scales; alternating
+    # levels samples both under the same conditions (a blocked design
+    # would compare one level's quiet window against the other's noisy one)
+    for _ in range(args.repeats):
+        for cpus in (args.n, args.n4):
             r = run_level(cpus, args.rows, args.convs)
             runs[cpus].append(r["wall_sec"])
             if cpus not in best or r["wall_sec"] < best[cpus]["wall_sec"]:
