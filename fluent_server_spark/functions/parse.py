@@ -92,10 +92,42 @@ def parse_turns_native(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("parsed", parsed)
 
 
+def parse_turns_map(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """str_to_map parse: ONE anchored rlike (validity) + ONE regex split
+    (pair boundaries) per row, vs 6 full-pattern executions in
+    `parse_turns_native`. Identical output struct.
+
+    Pair delimiter is a lookahead — a space only splits when followed by
+    `key=`, so the quoted msg value (which contains spaces but never
+    `word=`) survives intact; quotes are trimmed afterwards. ~2x less
+    regex CPU and allocation on the hot path, which is what the map
+    stage of the pipeline spends most of its time on.
+    """
+    text = F.col(text_col)
+    ok = text.rlike(GROK_PATTERN)
+    # str_to_map only under ok (lazy per-row branch): the pattern
+    # guarantees unique keys, so the EXCEPTION map-key-dedup policy can
+    # never fire — adversarial duplicate-key text falls to quarantine
+    # instead of failing the job
+    m = F.when(ok, F.str_to_map(text, F.lit(r" (?=[a-z_]+=)"), F.lit("=")))
+    parsed = F.struct(
+        m.getItem("level").alias("level"),
+        m.getItem("component").alias("component"),
+        F.btrim(m.getItem("msg"), F.lit('"')).alias("msg"),
+        m.getItem("dur_ms").cast("int").alias("dur_ms"),
+        m.getItem("tokens").cast("int").alias("tokens"),
+        ok.alias("parse_ok"),
+    )
+    return df.withColumn("parsed", parsed)
+
+
 def parse_turns(df: DataFrame, impl: str = "native", text_col: str = "text") -> DataFrame:
-    """Dispatch on impl: 'native' (Catalyst regexp) or 'pandas' (Arrow UDF)."""
+    """Dispatch on impl: 'native' (Catalyst str_to_map — the default),
+    'regexp' (Catalyst regexp_extract), or 'pandas' (Arrow UDF)."""
     if impl == "pandas":
         return parse_turns_pandas(df, text_col)
-    if impl == "native":
+    if impl in ("native", "map"):
+        return parse_turns_map(df, text_col)
+    if impl == "regexp":
         return parse_turns_native(df, text_col)
     raise ValueError(f"unknown parse impl: {impl!r}")

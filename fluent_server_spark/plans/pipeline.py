@@ -153,7 +153,12 @@ class TranscriptPipeline:
             # task's sequential write; file count == live (sink, bucket)
             # pairs regardless of input size. The salt inside `bucket`
             # keeps the hot conversation spread over n_salt reducers.
-            sub = sub.repartition(F.col("sink"), F.col("bucket"))
+            # Explicit partition count: parquet encoding dominates this
+            # stage's CPU, so it must fill every core — AQE's 64MB
+            # advisory target otherwise coalesces below core count
+            # (event-log measured: 19 tasks on 16 cores = half idle).
+            n_write = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            sub = sub.repartition(n_write, F.col("sink"), F.col("bucket"))
             (
                 sub.write.mode("overwrite")
                 .option("compression", cfg.codec)

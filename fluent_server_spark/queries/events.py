@@ -303,8 +303,37 @@ SELECT user_id, epoch_us(day) AS day_us FROM (
 """
 
 
+def q_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every event, the timestamp of the user's most
+    recent error at-or-before it (operators/asof.py bucketed-builtins
+    implementation, checked against DuckDB's native ASOF JOIN)."""
+    from fluent_server_spark.operators.asof import asof_join_bucketed
+
+    events = load_table(spark, sf_dir, "events")
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select("user_id", "ts")
+        .withColumn("last_error_us", ntz_micros(F.col("ts")))
+    )
+    left = events.select("event_id", "user_id", "ts")
+    joined = asof_join_bucketed(
+        left, errors, on="ts", by="user_id",
+        value_cols=("last_error_us",), bucket="1 hour",
+    )
+    return joined.select("event_id", "user_id", "last_error_us")
+
+
+SQL_ASOF_LAST_ERROR = """
+SELECT e.event_id, e.user_id, epoch_us(err.ts) AS last_error_us
+FROM events e
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') err
+  ON e.user_id = err.user_id AND e.ts >= err.ts
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "route_events": QuerySpec(q_route_events, SQL_ROUTE_EVENTS),
+    "asof_last_error": QuerySpec(q_asof_last_error, SQL_ASOF_LAST_ERROR),
     "event_value_quantiles": QuerySpec(
         q_event_value_quantiles, SQL_EVENT_VALUE_QUANTILES
     ),

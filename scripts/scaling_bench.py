@@ -30,6 +30,28 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _burn(k: int) -> int:
+    x = 0
+    for i in range(k):
+        x += i * i
+    return x
+
+
+def calibrate(procs: int = 16, n: int = 8_000_000) -> float:
+    """Raw-CPU probe (multiprocessing busy loops): measures what the host
+    is actually delivering right now, in M ops/s. Used to tag each
+    measurement pair with its ambient conditions — host CPU steal in this
+    shared microVM swings 3x on minute scales, so pairs must be compared
+    under like conditions."""
+    import multiprocessing as mp
+    import time
+
+    t0 = time.time()
+    with mp.Pool(procs) as p:
+        p.map(_burn, [n] * procs)
+    return round(procs * n / (time.time() - t0) / 1e6, 1)
+
+
 def run_level(cpus: int, rows: int, convs: int) -> dict:
     cmd = [
         sys.executable,
@@ -56,22 +78,40 @@ def main() -> int:
     ap.add_argument("--n4", type=int, default=16)
     args = ap.parse_args()
 
+    # INTERLEAVED pairs, each tagged with a raw-CPU calibration: host
+    # steal drifts on minute scales, so (a) both levels of a pair run
+    # back-to-back, and (b) the reported efficiency comes from the pair
+    # measured under the BEST ambient conditions (highest calibration) —
+    # the closest this shared VM gets to a quiet cluster. All pairs are
+    # reported.
+    pairs: list[dict] = []
     best: dict[int, dict] = {}
     runs: dict[int, list[float]] = {args.n: [], args.n4: []}
-    # INTERLEAVED: host CPU steal drifts on minute scales; alternating
-    # levels samples both under the same conditions (a blocked design
-    # would compare one level's quiet window against the other's noisy one)
-    for _ in range(args.repeats):
+    for i in range(args.repeats):
+        cal = calibrate()
+        pair = {"calibration_mops": cal}
         for cpus in (args.n, args.n4):
             r = run_level(cpus, args.rows, args.convs)
             runs[cpus].append(r["wall_sec"])
+            pair[str(cpus)] = r
             if cpus not in best or r["wall_sec"] < best[cpus]["wall_sec"]:
                 best[cpus] = r
-            print(f"local[{cpus}]: {r['wall_sec']}s  {r['turns_per_sec']} turns/s",
-                  file=sys.stderr)
+            print(
+                f"pair {i} (cal {cal}M ops/s) local[{cpus}]: {r['wall_sec']}s  "
+                f"{r['turns_per_sec']} turns/s",
+                file=sys.stderr,
+            )
+        pair["efficiency"] = round(
+            (pair[str(args.n4)]["turns_per_sec"] / pair[str(args.n)]["turns_per_sec"])
+            / (args.n4 / args.n),
+            3,
+        )
+        pairs.append(pair)
 
-    tn, t4n = best[args.n]["turns_per_sec"], best[args.n4]["turns_per_sec"]
-    eff = round((t4n / tn) / (args.n4 / args.n), 3)
+    cleanest = max(pairs, key=lambda p: p["calibration_mops"])
+    tn = cleanest[str(args.n)]["turns_per_sec"]
+    t4n = cleanest[str(args.n4)]["turns_per_sec"]
+    eff = cleanest["efficiency"]
     result = {
         "rows": args.rows,
         "n_cores": args.n,
@@ -81,6 +121,8 @@ def main() -> int:
         "scaling_efficiency": eff,
         "target": 0.8,
         "pass": eff >= 0.8,
+        "cleanest_calibration_mops": cleanest["calibration_mops"],
+        "pairs": pairs,
         "detail": best,
     }
 
@@ -91,8 +133,10 @@ def main() -> int:
 Flagship end-to-end pipeline (read stored turns parquet -> vectorized
 parse -> broadcast enrich -> first-match route -> partitioned parquet
 sinks + checkpoint commit), identical input at two parallelism levels,
-separate JVMs, best of {args.repeats} (sandbox proxy for N vs 4N
-executors per BASELINE.md's measurement protocol). Work dir is tmpfs:
+separate JVMs, {args.repeats} interleaved calibrated pairs (sandbox
+proxy for N vs 4N executors per BASELINE.md's measurement protocol);
+the headline row is the pair measured under the cleanest host
+conditions (calibration {cleanest['calibration_mops']} M ops/s). Work dir is tmpfs:
 on a real cluster storage bandwidth scales with executors; a single
 local disk would serialize the sink writes and measure the disk.
 
@@ -107,16 +151,24 @@ hypervisor cannot deliver 4x cycles above ~16 vCPUs, hence N=4.
 
 | config | rows | wall (s) | parsed+routed turns/sec |
 |---|---|---|---|
-| local[{args.n}], shuffle={args.n} | {args.rows:,} | {best[args.n]['wall_sec']} | {tn:,.0f} |
-| local[{args.n4}], shuffle={args.n4} | {args.rows:,} | {best[args.n4]['wall_sec']} | {t4n:,.0f} |
+| local[{args.n}], shuffle={2*args.n} | {args.rows:,} | {cleanest[str(args.n)]['wall_sec']} | {tn:,.0f} |
+| local[{args.n4}], shuffle={2*args.n4} | {args.rows:,} | {cleanest[str(args.n4)]['wall_sec']} | {t4n:,.0f} |
 
 **Scaling efficiency (N -> 4N)** = ({t4n:,.0f} / {tn:,.0f}) / 4 = **{eff}**
 (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
 
-All repeats (wall sec; host CPU steal in this shared microVM makes
-single runs swing up to ~2x, hence best-of):
-local[{args.n}]: {runs[args.n]}
-local[{args.n4}]: {runs[args.n4]}
+All interleaved pairs (wall sec + the raw-CPU calibration measured just
+before each pair; host steal in this shared microVM swings single runs
+up to ~3x, so the headline number is the pair under the cleanest
+measured conditions — every pair is shown):
+
+| pair | calibration (M ops/s) | local[{args.n}] wall | local[{args.n4}] wall | pair efficiency |
+|---|---|---|---|---|
+""" + "\n".join(
+            f"| {i} | {p['calibration_mops']} | {p[str(args.n)]['wall_sec']} "
+            f"| {p[str(args.n4)]['wall_sec']} | {p['efficiency']} |"
+            for i, p in enumerate(pairs)
+        ) + f"""
 
 Transform-only throughput (noop sink, write excluded) is reported by
 `python bench.py` in the `pipeline.noop_*` fields of BENCH_r{{N}}.json.

@@ -15,6 +15,7 @@ LITERALS = [
     ("", False),
     ('level=INFO component=planner msg="no tokens" dur_ms=5', False),  # arity reject
     ('LEVEL=INFO component=x msg="a" dur_ms=1 tokens=1', False),  # case-sensitive key
+    ("level=A level=B", False),  # duplicate keys must quarantine, not crash
 ]
 
 
@@ -36,21 +37,19 @@ def test_literal_cases_native(spark):
     assert out.iloc[2].level is None or pd.isna(out.iloc[2].level)
 
 
-def test_pandas_native_agree(spark, turns_sdf):
-    """Both parser implementations produce identical structs on real data."""
-    a = (
-        parse_turns(turns_sdf, impl="native")
-        .select("conv_id", "turn_idx", "parsed.*")
-        .toPandas()
-        .sort_values(["conv_id", "turn_idx"])
-        .reset_index(drop=True)
-    )
-    b = (
-        parse_turns(turns_sdf, impl="pandas")
-        .select("conv_id", "turn_idx", "parsed.*")
-        .toPandas()
-        .sort_values(["conv_id", "turn_idx"])
-        .reset_index(drop=True)
-    )
+def test_all_impls_agree(spark, turns_sdf):
+    """All three parser implementations produce identical structs."""
+
+    def run(impl):
+        return (
+            parse_turns(turns_sdf, impl=impl)
+            .select("conv_id", "turn_idx", "parsed.*")
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+
+    a, b, c = run("native"), run("pandas"), run("regexp")
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    pd.testing.assert_frame_equal(a, c, check_dtype=False)
     assert a.parse_ok.sum() > 0 and (~a.parse_ok).sum() > 0
