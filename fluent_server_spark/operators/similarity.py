@@ -125,6 +125,60 @@ def with_lsh_bucket(
     return df.withColumn(out, bucket)
 
 
+def cosine_neardup_lsh(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs at scale: multi-table hyperplane LSH candidates,
+    then EXACT cosine verification — precision is exact, recall is the
+    only approximation (for cos>=0.9 pairs, P(same bucket per table) =
+    (1 - theta/pi)^H ~ 0.43 at H=8, so 6 tables give ~97% recall; tested
+    against the cross-join baseline). The self-join is an equi-join on
+    (table, bucket) — no cross join at any scale."""
+    with_buckets = vectors
+    bucket_cols = []
+    for t in range(n_tables):
+        with_buckets = with_lsh_bucket(
+            with_buckets, dim, n_planes, seed + 1000 * t, vec_col, out=f"_b{t}"
+        )
+        bucket_cols.append(f"_b{t}")
+    tables = with_buckets.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), F.col(f"_b{t}").alias("bkt"))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(id_col, vec_col, "tb.tbl", "tb.bkt")
+    left = tables.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), "tbl", "bkt"
+    )
+    right = tables.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), "tbl", "bkt"
+    )
+    cand = (
+        left.join(right, ["tbl", "bkt"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_vec", "b_vec")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return (
+        cand.withColumn("cos", cosine(F.col("a_vec"), F.col("b_vec")))
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id", F.round("cos", 6).alias("cos"))
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

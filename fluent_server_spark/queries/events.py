@@ -331,9 +331,57 @@ ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') err
 """
 
 
+def q_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered event reconstruction — the mirror's per-tag
+    append list (reference mirror/mirror.go:16) as a first-class query:
+    collect_list + array_sort gives the stable-order sequence, joined to
+    one string so the oracle compare is engine-neutral."""
+    events = load_table(spark, sf_dir, "events")
+    seq = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    return events.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(seq, lambda x: x["event_type"]), "|"
+        ).alias("journey"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_USER_JOURNEY = """
+SELECT user_id,
+       string_agg(event_type, '|' ORDER BY ts, event_id) AS journey,
+       count(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+HEAVY_USER_MIN = 50
+
+
+def q_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection via the two-phase SALTED aggregation
+    (operators/skew.py): partial count on (key, salt) then final on key —
+    the formulation that survives a single key holding 30% of 10^12 rows.
+    Oracle: the plain GROUP BY (same result, skew-fragile formulation)."""
+    from fluent_server_spark.operators.skew import salted_count
+
+    events = load_table(spark, sf_dir, "events")
+    return salted_count(events, "user_id", n_salt=16).filter(
+        F.col("n") >= HEAVY_USER_MIN
+    )
+
+
+SQL_HEAVY_USERS = f"""
+SELECT user_id, count(*) AS n FROM events
+GROUP BY user_id HAVING count(*) >= {HEAVY_USER_MIN}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "route_events": QuerySpec(q_route_events, SQL_ROUTE_EVENTS),
     "asof_last_error": QuerySpec(q_asof_last_error, SQL_ASOF_LAST_ERROR),
+    "user_journey": QuerySpec(q_user_journey, SQL_USER_JOURNEY),
+    "heavy_users": QuerySpec(q_heavy_users, SQL_HEAVY_USERS),
     "event_value_quantiles": QuerySpec(
         q_event_value_quantiles, SQL_EVENT_VALUE_QUANTILES
     ),

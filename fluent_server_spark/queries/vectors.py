@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from fluent_server_spark.operators.similarity import (
     brute_force_topk,
+    cosine_neardup_lsh,
     cosine_neardup_pairs,
     l2_norm,
     lsh_topk,
@@ -102,5 +103,15 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ann_topk_bruteforce": QuerySpec(q_ann_topk_bruteforce, SQL_ANN_TOPK_BRUTEFORCE),
     "ann_topk_lsh": QuerySpec(q_ann_topk_lsh, None),
+    "embedding_neardup_lsh": QuerySpec(
+        lambda spark, sf_dir: cosine_neardup_lsh(
+            load_table(spark, sf_dir, "embeddings"),
+            dim=EMB_DIM,
+            threshold=NEARDUP_THRESHOLD,
+            n_planes=4,
+            n_tables=8,
+        ),
+        None,  # recall-approximate at this low threshold; pinned in pytest
+    ),
     "label_centroid_stats": QuerySpec(q_label_centroid_stats, SQL_LABEL_CENTROID_STATS),
 }

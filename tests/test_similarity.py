@@ -97,6 +97,18 @@ def test_lsh_recall_on_clustered_data(spark, vec_df, vecs):
     assert recall >= 0.7, f"LSH recall too low: {recall}"
 
 
+def test_neardup_lsh_recall_and_exact_precision(spark, vec_df, vecs):
+    from fluent_server_spark.operators.similarity import cosine_neardup_lsh
+
+    exact = {(r.a_id, r.b_id): r.cos for r in cosine_neardup_pairs(vec_df, 0.9).collect()}
+    approx = {(r.a_id, r.b_id): r.cos for r in cosine_neardup_lsh(vec_df, dim=DIM, threshold=0.9).collect()}
+    assert set(approx) <= set(exact)  # exact verify => perfect precision
+    recall = len(approx) / max(len(exact), 1)
+    assert recall >= 0.9, f"LSH near-dup recall too low: {recall}"
+    for k, v in approx.items():
+        assert v == exact[k]  # verified cosine identical to baseline
+
+
 def test_lsh_bucket_is_narrow_plan(spark, vec_df):
     """Bucketing must not introduce a shuffle — it's a projection."""
     bucketed = with_lsh_bucket(vec_df, dim=DIM, n_planes=4)
