@@ -81,6 +81,18 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(queries, emb, dim=EMB_DIM, k=TOPK_K, n_planes=6)
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means inverted lists, nprobe cells per query) — the
+    other scale path beside hyperplane LSH; recall pinned in test_ivf
+    (rows-only for the driver: approximate by design)."""
+    from fluent_server_spark.operators.ivf import ivf_topk, train_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_centroids(emb, k=8, dim=EMB_DIM)
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return ivf_topk(queries, emb, centroids, k=TOPK_K, nprobe=3)
+
+
 def q_label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding stats: count + avg L2 norm (agg over vectors)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -103,6 +115,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ann_topk_bruteforce": QuerySpec(q_ann_topk_bruteforce, SQL_ANN_TOPK_BRUTEFORCE),
     "ann_topk_lsh": QuerySpec(q_ann_topk_lsh, None),
+    "ann_topk_ivf": QuerySpec(q_ann_topk_ivf, None),
     "embedding_neardup_lsh": QuerySpec(
         lambda spark, sf_dir: cosine_neardup_lsh(
             load_table(spark, sf_dir, "embeddings"),

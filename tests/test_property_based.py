@@ -1,0 +1,123 @@
+"""Property-based tests (hypothesis): the route compiler and the parser
+must agree with independent Python oracles on RANDOM inputs, not just
+fixtures. (The reference has no property tests, SURVEY.md §5 — this is
+part of the upgrade.)
+
+One Spark action per property over a generated batch: hypothesis drives
+the data, a single createDataFrame->collect checks the whole batch.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+hypothesis = pytest.importorskip("hypothesis")
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from fluent_server_spark.functions.parse import GROK_PATTERN, parse_turns  # noqa: E402
+from fluent_server_spark.operators.route import RouteRule, compile_routes  # noqa: E402
+
+_GROK_RE = re.compile(GROK_PATTERN)
+
+# ---------------------------------------------------------------- parser
+
+word = st.text(alphabet="abcdefgz_0123456789", min_size=0, max_size=8)
+msg_text = st.text(
+    alphabet=' abcdefXYZ.,;:!?0123456789-_=',  # no quotes (pattern excludes them)
+    max_size=30,
+)
+garbage = st.text(max_size=40).filter(lambda s: "\n" not in s and "\r" not in s)
+
+
+@st.composite
+def texts(draw):
+    if draw(st.booleans()):
+        return draw(garbage)
+    lvl, comp = draw(word), draw(word)
+    m = draw(msg_text)
+    d, t = draw(st.integers(0, 10**6)), draw(st.integers(0, 10**6))
+    return f'level={lvl} component={comp} msg="{m}" dur_ms={d} tokens={t}'
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(texts(), min_size=1, max_size=60))
+def test_parser_matches_re_oracle(spark, batch):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(batch)], "i long, text string")
+    rows = {r.i: r for r in parse_turns(df, impl="native").select("i", "parsed.*").collect()}
+    for i, t in enumerate(batch):
+        m = _GROK_RE.match(t)
+        r = rows[i]
+        assert r.parse_ok == (m is not None and m.end() == len(t)), (t, r)
+        if m and m.end() == len(t):
+            assert (r.level, r.component, r.msg) == (m.group(1), m.group(2), m.group(3))
+            assert (r.dur_ms, r.tokens) == (int(m.group(4)), int(m.group(5)))
+        else:
+            assert r.level is None and r.msg is None
+
+
+# ---------------------------------------------------------------- router
+
+name = st.sampled_from(["alpha", "beta", "gamma", "al", "alp", "b", ""])
+pattern = st.one_of(
+    st.just("*"),
+    name,
+    name.map(lambda s: s + "*"),
+)
+
+
+@st.composite
+def rule_sets(draw):
+    n = draw(st.integers(1, 6))
+    rules = [
+        RouteRule(i, draw(pattern), draw(pattern), draw(pattern), f"sink_{i}")
+        for i in range(n)
+    ]
+    # terminal catch-all like fluentd configs end with <match **>
+    rules.append(RouteRule(n, "*", "*", "*", "sink_last"))
+    return rules
+
+
+def _py_match(value: str, pat: str) -> bool:
+    if pat == "*":
+        return True
+    if pat.endswith("*"):
+        return value.startswith(pat[:-1])
+    return value == pat
+
+
+def _py_route(rules, role, tool, level, ok):
+    if not ok:
+        return "sink_quarantine"
+    for r in rules:
+        if (
+            _py_match(role, r.role_pattern)
+            and _py_match(tool, r.tool_pattern)
+            and _py_match(level, r.level_pattern)
+        ):
+            return r.sink
+    return "sink_default"
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rule_sets(),
+    st.lists(st.tuples(name, name, name, st.booleans()), min_size=1, max_size=50),
+)
+def test_route_compiler_matches_python_oracle(spark, rules, rows):
+    df = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(rows)],
+        "i long, role string, tool string, level string, parse_ok boolean",
+    )
+    got = {
+        r.i: r.sink
+        for r in df.withColumn(
+            "sink", compile_routes(rules, level_col="level", parse_ok_col="parse_ok")
+        ).collect()
+    }
+    for i, (role, tool, level, ok) in enumerate(rows):
+        assert got[i] == _py_route(rules, role, tool, level, ok), (
+            rules, rows[i],
+        )

@@ -15,22 +15,7 @@ from fluent_server_spark.operators.similarity import (
 )
 
 DIM = 16
-N = 120
-
-
-@pytest.fixture(scope="module")
-def vecs():
-    rng = np.random.RandomState(7)
-    # 6 clusters -> plenty of high-cosine neighbors
-    centers = rng.randn(6, DIM) * 3
-    pts = np.vstack([c + rng.randn(N // 6, DIM) * 0.4 for c in centers])
-    return pts.astype(np.float64)
-
-
-@pytest.fixture(scope="module")
-def vec_df(spark, vecs):
-    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
-    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+N = 120  # vec_df/vecs fixtures (6 clusters) live in conftest.py
 
 
 def _np_topk(vecs, qids, k):
