@@ -93,27 +93,30 @@ def parse_turns_native(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def parse_turns_map(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """str_to_map parse: ONE anchored rlike (validity) + ONE regex split
-    (pair boundaries) per row, vs 6 full-pattern executions in
-    `parse_turns_native`. Identical output struct.
+    """str_to_map parse: ONE anchored rlike (validity), the quoted msg
+    span excised, then a plain single-space split. Identical output
+    struct to the other impls, ~2x less regex CPU than 6 full-pattern
+    `regexp_extract` executions.
 
-    Pair delimiter is a lookahead — a space only splits when followed by
-    `key=`, so the quoted msg value (which contains spaces but never
-    `word=`) survives intact; quotes are trimmed afterwards. ~2x less
-    regex CPU and allocation on the hot path, which is what the map
-    stage of the pipeline spends most of its time on.
+    The msg value is ``[^"]*`` — it may legally contain ``key=`` text
+    (e.g. ``msg="retry with level=2"``), so the msg span must NOT reach
+    str_to_map: a delimiter regex would split inside it, truncating msg
+    or (if the inner key duplicates a real one) throwing
+    DUPLICATE_MAP_KEY under the default EXCEPTION dedup policy. msg is
+    the only quoted field and contains no quotes, so exactly the one
+    real span is removed; the remainder is ``\\w+``/digit fields whose
+    keys the anchored pattern makes provably unique, so a plain space
+    split is exact. msg itself comes from one cheap sub-pattern extract.
     """
     text = F.col(text_col)
     ok = text.rlike(GROK_PATTERN)
-    # str_to_map only under ok (lazy per-row branch): the pattern
-    # guarantees unique keys, so the EXCEPTION map-key-dedup policy can
-    # never fire — adversarial duplicate-key text falls to quarantine
-    # instead of failing the job
-    m = F.when(ok, F.str_to_map(text, F.lit(r" (?=[a-z_]+=)"), F.lit("=")))
+    rest = F.regexp_replace(text, r' msg="[^"]*"', "")
+    m = F.when(ok, F.str_to_map(rest, F.lit(" "), F.lit("=")))
+    msg = F.when(ok, F.regexp_extract(text, r'msg="([^"]*)"', 1))
     parsed = F.struct(
         m.getItem("level").alias("level"),
         m.getItem("component").alias("component"),
-        F.btrim(m.getItem("msg"), F.lit('"')).alias("msg"),
+        msg.alias("msg"),
         m.getItem("dur_ms").cast("int").alias("dur_ms"),
         m.getItem("tokens").cast("int").alias("tokens"),
         ok.alias("parse_ok"),

@@ -56,6 +56,60 @@ def asof_join_pandas(
     )
 
 
+def forward_filled_versions(
+    lb: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    value_cols: tuple[str, ...],
+    bucket: str,
+) -> DataFrame:
+    """The right side of the bucketed as-of join: each version exploded
+    over the time buckets it covers, ready for an equi-join on (by, _b).
+
+    The per-key LEFT bucket span [lmin, lmax] is derived inside the plan
+    (no driver-side action, no extra job) and joined to the right side.
+    Each version's coverage interval [start, end] — end being the next
+    version's bucket or the key's lmax — is clamped to [lmin, lmax]:
+    versions whose whole interval lies before lmin are superseded by a
+    later version before any left row exists (dropped); versions after
+    lmax can never be a backward match (dropped); a version straddling
+    lmin starts its coverage at lmin. The per-key explode is therefore
+    bounded by the LEFT's own bucket span — a version table sparse over
+    a long range cannot amplify past it (pinned in tests/test_asof.py).
+    All bucket arithmetic stays in the `on` column's type domain
+    (TIMESTAMP_NTZ for naive parquet timestamps) — no LTZ literal, so
+    results cannot shift with the session timezone near DST transitions.
+    """
+    dur = F.expr(f"INTERVAL {bucket}")
+    lspan = lb.groupBy(by).agg(
+        F.min("_b").alias("_lmin"), F.max("_b").alias("_lmax")
+    )
+    w_next = Window.partitionBy(by).orderBy(on)
+    rb = (
+        right.withColumn("_start", F.window(F.col(on), bucket)["start"])
+        .withColumn("_next", F.lead("_start").over(w_next))
+        .join(lspan, by, "inner")
+    )
+    rb = (
+        rb.withColumn("_cstart", F.greatest(F.col("_start"), F.col("_lmin")))
+        .withColumn(
+            "_end",
+            F.least(F.coalesce(F.col("_next"), F.col("_lmax")), F.col("_lmax")),
+        )
+        .filter(F.col("_end") >= F.col("_cstart"))
+    )
+    rb = rb.withColumn(
+        "_b", F.explode(F.sequence(F.col("_cstart"), F.col("_end"), dur))
+    )
+    return rb.select(
+        F.col(by).alias("_rby"),
+        F.col("_b"),
+        F.col(on).alias("_rts"),
+        *[F.col(c) for c in value_cols],
+    )
+
+
 def asof_join_bucketed(
     left: DataFrame,
     right: DataFrame,
@@ -73,30 +127,10 @@ def asof_join_bucketed(
     the same cost as any co-partitioned join; no window over the fact
     table beyond the final dedup, no cross join.
     """
-    dur = F.expr(f"INTERVAL {bucket}")
     lb = left.withColumn("_b", F.window(F.col(on), bucket)["start"]).withColumn(
         "_lid", F.monotonically_increasing_id()
     )
-    # right side: explode each version over the buckets it covers
-    w_next = Window.partitionBy(by).orderBy(on)
-    rb = (
-        right.withColumn("_start", F.window(F.col(on), bucket)["start"])
-        .withColumn("_next", F.lead("_start").over(w_next))
-    )
-    # max buckets any version must cover: until next version (or left max)
-    max_b = lb.agg(F.max("_b")).first()[0]
-    rb = rb.withColumn(
-        "_end", F.coalesce(F.col("_next"), F.lit(max_b).cast("timestamp"))
-    ).filter(F.col("_end") >= F.col("_start"))
-    rb = rb.withColumn(
-        "_b", F.explode(F.sequence(F.col("_start"), F.col("_end"), dur))
-    )
-    r_named = rb.select(
-        F.col(by).alias("_rby"),
-        F.col("_b"),
-        F.col(on).alias("_rts"),
-        *[F.col(c) for c in value_cols],
-    )
+    r_named = forward_filled_versions(lb, right, on, by, value_cols, bucket)
     joined = lb.join(
         r_named,
         (lb[by] == r_named["_rby"]) & (lb["_b"] == r_named["_b"]),

@@ -41,7 +41,15 @@ class CheckpointLog:
         self.path = path
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
 
-    def committed_groups(self, run_id: str) -> dict[int, GroupCommit]:
+    def committed_groups(
+        self, run_id: str, expected_n_groups: int | None = None
+    ) -> dict[int, GroupCommit]:
+        """Committed records for run_id. If `expected_n_groups` is given,
+        refuse records written under a different group count: group ids
+        are meaningful only relative to the pmod(bucket, G) partitioning
+        they were committed under — silently reusing them against a
+        different G would skip the wrong bucket sets (missing/duplicated
+        sink partitions)."""
         out: dict[int, GroupCommit] = {}
         if not os.path.exists(self.path):
             return out
@@ -52,6 +60,16 @@ class CheckpointLog:
                     continue
                 rec = GroupCommit(**json.loads(line))
                 if rec.run_id == run_id and rec.status == "committed":
+                    if (
+                        expected_n_groups is not None
+                        and rec.n_groups != expected_n_groups
+                    ):
+                        raise ValueError(
+                            f"run {run_id!r} was checkpointed with "
+                            f"n_groups={rec.n_groups}, cannot resume with "
+                            f"checkpoint_groups={expected_n_groups}: group "
+                            "ids do not map to the same bucket sets"
+                        )
                     out[rec.group_id] = rec
         return out
 

@@ -129,7 +129,7 @@ class TranscriptPipeline:
         cfg = self.config
         run_id = run_id or uuid.uuid4().hex[:12]
         routed = self.transform(turns)
-        done = self.checkpoint.committed_groups(run_id)
+        done = self.checkpoint.committed_groups(run_id, cfg.checkpoint_groups)
         groups_ran = 0
         for g in range(cfg.checkpoint_groups):
             if g in done:
@@ -161,6 +161,12 @@ class TranscriptPipeline:
             sub = sub.repartition(n_write, F.col("sink"), F.col("bucket"))
             (
                 sub.write.mode("overwrite")
+                # pinned at the writer: under the Spark default (static)
+                # overwrite mode this write would truncate the WHOLE
+                # sinks_path per group — multi-group runs would keep only
+                # the last group and resume would skip wiped partitions.
+                # Correctness must not depend on how the session was built.
+                .option("partitionOverwriteMode", "dynamic")
                 .option("compression", cfg.codec)
                 .partitionBy("sink", "bucket")
                 .parquet(cfg.sinks_path)

@@ -113,9 +113,12 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_NGRAM_JACCARD_PAIRS = f"""
 WITH sh AS (
   SELECT doc_id,
+         -- list_slice clamps at the list end, matching Spark's
+         -- F.slice/concat_ws partial shingle for docs with < n words
+         -- (w[i+2] indexing would yield NULL grams there and diverge)
          list_distinct(list_transform(
            range(1, greatest(len(w) - 2, 1) + 1),
-           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+           i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS grams
   FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
         FROM documents)
 )

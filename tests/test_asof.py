@@ -72,3 +72,46 @@ def test_pandas_asof_matches_oracle(spark, asof_data):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+def test_sparse_versions_long_left_span(spark):
+    """A version far before the left span must still forward-fill, and a
+    version after all left rows must never match — over a multi-month
+    left span (the scale-risk case from round 1)."""
+    base = pd.Timestamp("2024-06-01")
+    left_rows = [
+        ("k", 0, (base + pd.Timedelta(days=d)).to_pydatetime()) for d in range(0, 90, 7)
+    ]
+    right_rows = [
+        ("k", pd.Timestamp("2022-01-15 03:30").to_pydatetime(), "ancient"),
+        ("k", (base + pd.Timedelta(days=30)).to_pydatetime(), "mid"),
+        ("k", (base + pd.Timedelta(days=400)).to_pydatetime(), "future"),
+    ]
+    left = spark.createDataFrame(left_rows, "conv_id string, turn_idx int, ts timestamp")
+    right = spark.createDataFrame(right_rows, "conv_id string, ts timestamp, version string")
+    got = (
+        asof_join_bucketed(left, right, bucket="1 hour")
+        .toPandas()
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    want = ["ancient" if d < 30 else "mid" for d in range(0, 90, 7)]
+    assert list(got.version) == want
+
+
+def test_explode_bounded_by_left_bucket_span(spark):
+    """The forward-fill explode is clamped to the left's per-key bucket
+    span: a version dated YEARS before a 3-hour left span contributes at
+    most span-many bucket rows (old behavior: one row per hour since the
+    version -> ~17k)."""
+    from pyspark.sql import functions as F
+
+    from fluent_server_spark.operators.asof import forward_filled_versions
+
+    base = pd.Timestamp("2024-06-01")
+    left_rows = [("k", i, (base + pd.Timedelta(hours=i)).to_pydatetime()) for i in range(3)]
+    right_rows = [("k", pd.Timestamp("2022-01-15 03:30").to_pydatetime(), "v0")]
+    left = spark.createDataFrame(left_rows, "conv_id string, turn_idx int, ts timestamp")
+    right = spark.createDataFrame(right_rows, "conv_id string, ts timestamp, version string")
+    lb = left.withColumn("_b", F.window(F.col("ts"), "1 hour")["start"])
+    rb = forward_filled_versions(lb, right, "ts", "conv_id", ("version",), "1 hour")
+    assert rb.count() <= 3  # left spans 3 hourly buckets

@@ -53,3 +53,36 @@ def test_all_impls_agree(spark, turns_sdf):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     pd.testing.assert_frame_equal(a, c, check_dtype=False)
     assert a.parse_ok.sum() > 0 and (~a.parse_ok).sum() > 0
+
+
+ADVERSARIAL_MSG = [
+    # GROK-valid rows whose quoted msg contains ' key=' material — a
+    # naive delimiter split would truncate msg or produce duplicate map
+    # keys (DUPLICATE_MAP_KEY under the default EXCEPTION dedup policy)
+    'level=INFO component=planner msg="retry with level=2" dur_ms=1 tokens=2',
+    'level=WARN component=x msg="a dur_ms= b tokens=9 end" dur_ms=3 tokens=4',
+    'level=INFO component=y msg="msg= nested msg=deep" dur_ms=5 tokens=6',
+]
+
+
+def test_adversarial_msg_all_impls_agree(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ADVERSARIAL_MSG)], ["i", "text"]
+    )
+
+    def run(impl):
+        return (
+            parse_turns(df, impl=impl)
+            .select("i", "parsed.*")
+            .toPandas()
+            .sort_values("i")
+            .reset_index(drop=True)
+        )
+
+    native, pandas_, regexp = run("native"), run("pandas"), run("regexp")
+    assert list(native.parse_ok) == [True, True, True]
+    assert native.msg[0] == "retry with level=2"
+    assert native.msg[1] == "a dur_ms= b tokens=9 end"
+    assert (native.dur_ms.tolist(), native.tokens.tolist()) == ([1, 3, 5], [2, 4, 6])
+    pd.testing.assert_frame_equal(native, pandas_, check_dtype=False)
+    pd.testing.assert_frame_equal(native, regexp, check_dtype=False)

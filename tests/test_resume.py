@@ -59,3 +59,18 @@ def test_rerun_is_idempotent(spark, turns_sdf, tmp_path):
     first = _sorted_sinks(pipe)
     pipe.run(turns_sdf, run_id="b")  # full replay into same sinks
     pd.testing.assert_frame_equal(_sorted_sinks(pipe), first)
+
+
+def test_resume_with_different_group_count_refuses(spark, turns_sdf, tmp_path):
+    """Group ids are only meaningful relative to the pmod(bucket, G)
+    partitioning they were committed under — resuming the same run_id
+    with a different G must raise, not silently skip wrong bucket sets."""
+    pipe = TranscriptPipeline(spark, _cfg(tmp_path))
+    with pytest.raises(InjectedFailure):
+        pipe.run(turns_sdf, run_id="g4", fail_after_groups=1)
+
+    cfg2 = _cfg(tmp_path)
+    cfg2.checkpoint_groups = 8
+    pipe2 = TranscriptPipeline(spark, cfg2)
+    with pytest.raises(ValueError, match="n_groups"):
+        pipe2.run(turns_sdf, run_id="g4")
