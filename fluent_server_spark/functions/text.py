@@ -97,31 +97,30 @@ LANG_MARKERS: dict[str, frozenset[str]] = {
     "zh": frozenset("的 是 了 在 我 有 和 不 这 人".split()),
 }
 _LANG_ORDER = sorted(LANG_MARKERS)  # deterministic tie-break
-import re as _re
-
-_LANG_RES = {
-    lang: _re.compile(
-        r"(?:^|\s)(?:" + "|".join(map(_re.escape, sorted(markers))) + r")(?=\s|$)"
-    )
-    for lang, markers in LANG_MARKERS.items()
-}
 
 
 @F.pandas_udf(T.StringType())
 def lang_id_udf(text: pd.Series) -> pd.Series:
     """Marker-word language guess; 'und' when no marker hits.
 
-    Fully vectorized: one compiled-regex `str.count` pass per language
-    over the whole Arrow batch (C loop), then a numpy argmax — no
-    per-row Python. Ties break by language code order (argmax takes the
-    first maximum over the sorted language axis) — deterministic.
+    Semantics: argmax over per-language counts of whitespace tokens that
+    are marker words (ties break by language code order) — deliberately
+    defined over TOKEN MEMBERSHIP, not a regex, so the DuckDB oracle can
+    reproduce it exactly with split + list_filter IN (RE2 has no
+    lookahead, so the round-1 boundary-regex formulation was
+    un-oracle-able). Vectorized: one split + explode over the Arrow
+    batch, one isin pass per language, numpy argmax — no per-row Python.
     """
     import numpy as np
 
     low = text.fillna("").str.lower()
-    counts = np.stack(
-        [low.str.count(_LANG_RES[lang]).to_numpy() for lang in _LANG_ORDER]
-    )
+    exploded = low.str.split().explode().dropna()
+    counts = np.zeros((len(_LANG_ORDER), len(text)), dtype=np.int64)
+    if not exploded.empty:
+        pos = text.index.get_indexer(exploded.index)
+        for li, lang in enumerate(_LANG_ORDER):
+            m = exploded.isin(LANG_MARKERS[lang]).to_numpy()
+            np.add.at(counts[li], pos[m], 1)
     best = counts.argmax(axis=0)
     hit = counts.max(axis=0) > 0
     langs = np.asarray(_LANG_ORDER)[best]

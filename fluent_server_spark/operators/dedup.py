@@ -21,7 +21,7 @@ Scale notes (the whole point of each design):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from fluent_server_spark.functions.text import md5_fingerprint, simhash_udf, hamming64
@@ -100,6 +100,65 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_join_prefix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join at scale — prefix filtering
+    (Chaudhuri SSJoin '06 / Bayardo AllPairs '07 / Vernica VLDB'10), not
+    the O(n^2) cross join.
+
+    Guarantee: under any global total order on shingles, two sets with
+    jaccard >= t share >= ceil(t*|X|) elements, so their globally
+    smallest common shingle lies within the first |X| - ceil(t*|X|) + 1
+    shingles of BOTH — an equi-join on prefix shingles alone has 100%
+    recall, and the exact verify keeps precision exact. Same output as
+    `ngram_jaccard_pairs` (which remains the O(n^2) test baseline), so
+    the plain pairwise SQL stays a valid oracle.
+
+    Global order = (corpus frequency asc, shingle asc): rare-first
+    prefixes minimize candidate fan-out. Shuffles: one groupBy for
+    frequencies, one join back, one candidate equi-join — all on keys,
+    never all-pairs.
+    """
+    sh = with_shingles(docs, text_col, n).select(
+        F.col(id_col).alias("_id"), "shingles"
+    )
+    toks = sh.select("_id", F.size("shingles").alias("sz"), F.explode("shingles").alias("gram"))
+    freq = toks.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("_id").orderBy("df", "gram")
+    prefix_len = (
+        F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).cast("int")
+    pref = (
+        toks.join(freq, "gram")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select("_id", "gram")
+    )
+    cand = (
+        pref.select(F.col("_id").alias("a_id"), "gram")
+        .join(pref.select(F.col("_id").alias("b_id"), "gram"), "gram")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    a_sh = sh.select(F.col("_id").alias("a_id"), F.col("shingles").alias("a_sh"))
+    b_sh = sh.select(F.col("_id").alias("b_id"), F.col("shingles").alias("b_sh"))
+    verified = cand.join(a_sh, "a_id").join(b_sh, "b_id")
+    inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
+    union = F.size(F.array_union("a_sh", "b_sh")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        verified.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
 # ------------------------------------------------------------- MinHash LSH
 
 _MERSENNE = (1 << 31) - 1  # 31-bit field: a*h + b stays < 2^62, so the
@@ -107,31 +166,76 @@ _MERSENNE = (1 << 31) - 1  # 31-bit field: a*h + b stays < 2^62, so the
 # verify session may have ANSI on; 2^61-1 coefficients would throw there)
 
 
-def minhash_signature(
-    shingles: F.Column, n_perm: int = 64, seed: int = 1337
-) -> F.Column:
-    """n_perm minhash values via (a*h + b) mod p over xxhash64 shingles.
-
-    Universal-hash permutation approximation (Broder '97). Everything is
-    a Catalyst array expression — no Python, no shuffle.
-    """
-    # deterministic odd coefficients derived from the seed
-    coeffs = [
+def minhash_coeffs(n_perm: int = 64, seed: int = 1337) -> list[tuple[int, int]]:
+    """Deterministic (a, b) permutation coefficients — shared verbatim by
+    the Spark plan and the generated DuckDB oracle SQL."""
+    return [
         (
             (seed * 2654435761 + i * 40503) % _MERSENNE | 1,
             (seed * 97 + i * 1299709) % _MERSENNE,
         )
         for i in range(n_perm)
     ]
-    # pmod (not abs%) — abs(Long.MIN_VALUE) overflows under ANSI
-    h = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
-    mins = [
-        F.array_min(
-            F.transform(h, lambda x: (x * F.lit(a) + F.lit(b)) % _MERSENNE)
+
+
+def hash_shingle(gram: F.Column) -> F.Column:
+    """60-bit shingle hash: first 15 hex chars of md5, base-16 decoded.
+
+    md5 (not xxhash64) so the DuckDB oracle can compute the IDENTICAL
+    value: `CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)`. 60 bits keeps
+    every downstream product inside int64 under ANSI mode.
+    """
+    return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("bigint")
+
+
+def with_hashed_shingles(
+    docs: DataFrame, text_col: str = "text", n: int = 3, out: str = "hg"
+) -> DataFrame:
+    """Distinct 60-bit hashed word-n-gram shingles (narrow op). Jaccard
+    over these equals jaccard over the string shingles up to md5
+    collisions (~2^-60 per pair) — and int arrays intersect far cheaper
+    than string arrays on the verify path."""
+    sh = with_shingles(docs, text_col, n, out="_grams")
+    return sh.withColumn(
+        out, F.array_distinct(F.transform("_grams", hash_shingle))
+    ).drop("_grams")
+
+
+def minhash_signature(
+    hashed: F.Column, n_perm: int = 64, seed: int = 1337
+) -> F.Column:
+    """n_perm minhash values via (a*h + b) mod p over hashed shingles.
+
+    Universal-hash permutation approximation (Broder '97). ONE pass over
+    the shingle array (fold with a 64-wide running-min accumulator)
+    instead of n_perm transform+array_min traversals — same output,
+    ~n_perm x less array allocation. Everything is a Catalyst array
+    expression — no Python, no shuffle.
+    """
+    coeffs = minhash_coeffs(n_perm, seed)
+    a_lit = F.array(*[F.lit(a).cast("bigint") for a, _ in coeffs])
+    b_lit = F.array(*[F.lit(b).cast("bigint") for _, b in coeffs])
+    init = F.array_repeat(F.lit(_MERSENNE).cast("bigint"), n_perm)
+
+    def step(acc: F.Column, x: F.Column) -> F.Column:
+        cand = F.zip_with(
+            a_lit, b_lit, lambda a, b: ((x % _MERSENNE) * a + b) % _MERSENNE
         )
-        for (a, b) in coeffs
-    ]
-    return F.array(*mins)
+        return F.zip_with(acc, cand, lambda m, c: F.least(m, c))
+
+    return F.aggregate(hashed, init, step)
+
+
+def band_bucket(sig: F.Column, band: int, rows_per_band: int) -> F.Column:
+    """Bucket key for one LSH band: md5 of the comma-joined band slice —
+    portable (DuckDB: md5(array_to_string(list_slice(...), ','))), unlike
+    Spark's engine-internal F.hash."""
+    return F.md5(
+        F.concat_ws(
+            ",",
+            *[sig[i] for i in range(band * rows_per_band, (band + 1) * rows_per_band)],
+        )
+    )
 
 
 def minhash_lsh_pairs(
@@ -152,10 +256,10 @@ def minhash_lsh_pairs(
     recall is the only approximation (tested against the O(n^2) baseline).
     """
     rows_per_band = n_perm // n_bands
-    sig = with_shingles(docs, text_col, n).withColumn(
-        "sig", minhash_signature(F.col("shingles"), n_perm)
+    sig = with_hashed_shingles(docs, text_col, n).withColumn(
+        "sig", minhash_signature(F.col("hg"), n_perm)
     )
-    sig = sig.filter(F.size("shingles") > 0).select(id_col, "shingles", "sig")
+    sig = sig.filter(F.size("hg") > 0).select(id_col, "hg", "sig")
 
     bands = sig.select(
         id_col,
@@ -164,14 +268,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.hash(
-                            *[
-                                F.col("sig")[i]
-                                for i in range(
-                                    b * rows_per_band, (b + 1) * rows_per_band
-                                )
-                            ]
-                        ).alias("bucket"),
+                        band_bucket(F.col("sig"), b, rows_per_band).alias("bucket"),
                     )
                     for b in range(n_bands)
                 ]
@@ -190,8 +287,11 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = sig.select(F.col(id_col).alias("a_id"), F.col("shingles").alias("a_sh"))
-    sh2 = sig.select(F.col(id_col).alias("b_id"), F.col("shingles").alias("b_sh"))
+    # exact verify on candidates only — int-array intersect (60-bit
+    # hashed shingles), far cheaper to shuffle and compare than the
+    # string shingle arrays round 1 shipped here
+    sh = sig.select(F.col(id_col).alias("a_id"), F.col("hg").alias("a_sh"))
+    sh2 = sig.select(F.col(id_col).alias("b_id"), F.col("hg").alias("b_sh"))
     verified = cand.join(sh, "a_id").join(sh2, "b_id")
     inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
     union = F.size(F.array_union("a_sh", "b_sh")).cast("double")

@@ -39,20 +39,22 @@ def train_centroids(
     sample_rows: int = 10_000,
     seed: int = 13,
     vec_col: str = "embedding",
+    total_rows: int | None = None,
 ) -> list[list[float]]:
     """Lloyd's k-means on a bounded sample; returns centroid literals.
 
-    Sampling is deterministic (seeded) and the sample is small enough to
-    iterate cheaply; at 10^12 rows you train on ~10^5-10^6 sampled rows,
-    which is the standard IVF recipe."""
-    n = vectors.count()
-    frac = min(1.0, sample_rows / max(n, 1))
+    Sampling is deterministic and the sample is small enough to iterate
+    cheaply; at 10^12 rows you train on ~10^5-10^6 sampled rows, which is
+    the standard IVF recipe. Pass `total_rows` (usually known from table
+    metadata) to fraction-sample uniformly across the corpus; without it
+    the trainer takes a LIMIT — a pushed-down, early-terminating scan —
+    rather than paying a full count() job just to derive a fraction."""
+    src = vectors.select(vec_col)
+    if total_rows is not None:
+        frac = min(1.0, (2.0 * sample_rows) / max(total_rows, 1))
+        src = src.sample(fraction=frac, seed=seed)
     sample = np.array(
-        vectors.sample(fraction=frac, seed=seed)
-        .limit(sample_rows)
-        .select(vec_col)
-        .toPandas()[vec_col]
-        .tolist(),
+        src.limit(sample_rows).toPandas()[vec_col].tolist(),
         dtype=np.float64,
     )
     rng = np.random.RandomState(seed)

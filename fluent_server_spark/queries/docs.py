@@ -1,7 +1,9 @@
 """Training-data queries over the driver `documents` table: dedup family
-+ text analysis. SQL oracles where ANSI-expressible; MinHash/SimHash/
-lang-id are rows-only for the driver (their semantics are pinned by
-pytest against exact baselines instead — tests/test_dedup.py)."""
++ text analysis. EVERY query here carries a DuckDB oracle — including
+MinHash/SimHash/lang-id, whose hashes are built on md5 (not engine
+hashes) precisely so the full LSH pipeline is replayable in ANSI-ish SQL
+(generated below). Recall-vs-exact properties are additionally pinned in
+pytest (tests/test_dedup.py)."""
 
 from __future__ import annotations
 
@@ -9,6 +11,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fluent_server_spark.functions.text import (
+    LANG_MARKERS,
+    _LANG_ORDER,
     lang_id_udf,
     quality_score,
     stopword_count,
@@ -18,7 +22,10 @@ from fluent_server_spark.functions.text import (
     STOPWORDS,
 )
 from fluent_server_spark.operators.dedup import (
+    _MERSENNE,
     exact_dedup,
+    jaccard_join_prefix,
+    minhash_coeffs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
@@ -104,8 +111,12 @@ JACCARD_THRESHOLD = 0.2
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (crossJoin baseline)."""
-    return ngram_jaccard_pairs(
+    """Exact 3-gram Jaccard near-dup pairs — prefix-filtered similarity
+    join (the scale path: equi-join on rare prefix shingles, 100% recall
+    by the prefix-filter lemma, exact verify). The O(n^2) crossJoin
+    variant survives only as the pytest baseline (`ngram_jaccard_pairs`
+    operator) — it is no longer a driver/bench query shape."""
+    return jaccard_join_prefix(
         load_table(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
     )
 
@@ -134,20 +145,170 @@ WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
 
 
 def q_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dups (scale path; rows-only driver check —
-    recall vs the exact baseline is pinned in tests/test_dedup.py)."""
+    """MinHash+LSH near-dups (scale path). Oracled hard: every hash in
+    the pipeline (shingle hash, permutations, band buckets) is md5-based
+    so the generated SQL below replays the IDENTICAL algorithm in DuckDB
+    — signature, banding, candidate join, exact verify."""
     return minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
     )
 
 
+def _sql_minhash_neardup(
+    n: int = 3,
+    n_perm: int = 64,
+    n_bands: int = 16,
+    threshold: float = JACCARD_THRESHOLD,
+    seed: int = 1337,
+) -> str:
+    """Generate the DuckDB twin of minhash_lsh_pairs: same coefficients,
+    same 60-bit md5 shingle hash, same band buckets, same verify."""
+    p = _MERSENNE
+    rpb = n_perm // n_bands
+    mins = ",\n         ".join(
+        f"list_min(list_transform(hg, x -> (((x % {p}) * {a}) + {b}) % {p}))"
+        for a, b in minhash_coeffs(n_perm, seed)
+    )
+    return f"""
+WITH wl AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+            FROM documents),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(ws) - {n - 1}, 1) + 1),
+           i -> array_to_string(list_slice(ws, i, i + {n - 1}), ' '))) AS g
+  FROM wl),
+hs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           g, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS hg
+  FROM grams WHERE len(g) > 0),
+sig AS (SELECT doc_id, hg,
+        [{mins}] AS sig
+        FROM hs),
+bands AS (
+  SELECT doc_id, t.r AS band,
+         md5(array_to_string(list_slice(sig, t.r * {rpb} + 1, (t.r + 1) * {rpb}), ',')) AS bucket
+  FROM sig, range({n_bands}) t(r)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+v AS (
+  SELECT c.a_id, c.b_id,
+         round(CAST(len(list_intersect(ha.hg, hb.hg)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(ha.hg, hb.hg))) AS DOUBLE),
+               6) AS jaccard
+  FROM cand c
+  JOIN hs ha ON ha.doc_id = c.a_id
+  JOIN hs hb ON hb.doc_id = c.b_id)
+SELECT a_id, b_id, jaccard FROM v WHERE jaccard >= {threshold}
+"""
+
+
+SQL_MINHASH_NEARDUP_PAIRS = _sql_minhash_neardup()
+
+MAX_HAMMING = 6
+
+
 def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=6)
+    return simhash_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=MAX_HAMMING
+    )
+
+
+def _sql_simhash_neardup(max_hamming: int = MAX_HAMMING) -> str:
+    """DuckDB twin of simhash_pairs: per-word 64-bit md5 hash (first 8
+    digest bytes big-endian == the Python UDF's int.from_bytes), signed
+    +-1 bit accumulation, 4x16-bit band chunks, banded candidate join,
+    hamming verify via bit_count(xor)."""
+    accs = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS a{b}"
+        for b in range(64)
+    )
+    chunk_exprs = []
+    for c in range(4):
+        bits = " + ".join(
+            f"(CASE WHEN a{16 * c + j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(16)
+        )
+        chunk_exprs.append(f"({bits}) AS c{c}")
+    chunks = ",\n         ".join(chunk_exprs)
+    # two's-complement reassembly of the signed 64-bit signature from the
+    # 4 chunks (bit 63 folds in as the int64 minimum, avoiding overflow)
+    sim = (
+        "CAST(c0 AS BIGINT) + CAST(c1 AS BIGINT) * 65536 "
+        "+ CAST(c2 AS BIGINT) * 4294967296 "
+        "+ CAST(c3 % 32768 AS BIGINT) * 281474976710656 "
+        "+ CASE WHEN c3 >= 32768 THEN (-9223372036854775807 - 1) ELSE 0 END"
+    )
+    return f"""
+WITH wl AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents),
+wx AS (SELECT doc_id, unnest(ws) AS wrd FROM wl),
+wh AS (SELECT doc_id, CAST('0x' || substr(md5(wrd), 1, 16) AS UBIGINT) AS h
+       FROM wx),
+acc AS (
+  SELECT doc_id,
+         {accs}
+  FROM wh GROUP BY doc_id),
+chunked AS (
+  SELECT doc_id,
+         {chunks}
+  FROM acc),
+sig AS (
+  SELECT d.doc_id,
+         coalesce(c.c0, 0) AS c0, coalesce(c.c1, 0) AS c1,
+         coalesce(c.c2, 0) AS c2, coalesce(c.c3, 0) AS c3,
+         coalesce({sim}, 0) AS sim
+  FROM documents d LEFT JOIN chunked c USING (doc_id))
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b
+  ON a.doc_id < b.doc_id
+ AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3)
+WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+"""
+
+
+SQL_SIMHASH_NEARDUP_PAIRS = _sql_simhash_neardup()
 
 
 def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", lang_id_udf(F.col("text")).alias("lang_guess"))
+
+
+def _sql_doc_lang_id() -> str:
+    """DuckDB twin of lang_id_udf: marker-token membership counts per
+    language, argmax with tie-break by language code order, 'und' on no
+    hit — the same token-membership semantics the UDF now implements
+    (chosen over a boundary regex exactly so RE2 can express it)."""
+    count_cols = []
+    for lang in _LANG_ORDER:
+        markers = ", ".join(f"'{m}'" for m in sorted(LANG_MARKERS[lang]))
+        count_cols.append(
+            f"len(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),"
+            f" x -> x IN ({markers}))) AS c_{lang}"
+        )
+    counts = ",\n         ".join(count_cols)
+    g = "greatest(" + ", ".join(f"c_{lang}" for lang in _LANG_ORDER) + ")"
+    whens = " ".join(f"WHEN c_{lang} = {g} THEN '{lang}'" for lang in _LANG_ORDER)
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         {counts}
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN {g} = 0 THEN 'und' {whens} END AS lang_guess
+FROM c
+"""
+
+
+SQL_DOC_LANG_ID = _sql_doc_lang_id()
 
 
 QUALITY_MIN = 0.5
@@ -212,7 +373,11 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_fingerprints": QuerySpec(q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
     "lang_source_rollup": QuerySpec(q_lang_source_rollup, SQL_LANG_SOURCE_ROLLUP),
     "ngram_jaccard_pairs": QuerySpec(q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
-    "minhash_neardup_pairs": QuerySpec(q_minhash_neardup_pairs, None),
-    "simhash_neardup_pairs": QuerySpec(q_simhash_neardup_pairs, None),
-    "doc_lang_id": QuerySpec(q_doc_lang_id, None),
+    "minhash_neardup_pairs": QuerySpec(
+        q_minhash_neardup_pairs, SQL_MINHASH_NEARDUP_PAIRS
+    ),
+    "simhash_neardup_pairs": QuerySpec(
+        q_simhash_neardup_pairs, SQL_SIMHASH_NEARDUP_PAIRS
+    ),
+    "doc_lang_id": QuerySpec(q_doc_lang_id, SQL_DOC_LANG_ID),
 }

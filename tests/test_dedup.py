@@ -84,3 +84,60 @@ def test_simhash_finds_near_identical(corpus):
     assert pairs.get((0, 1)) == 0  # identical docs -> identical simhash
     assert (0, 2) in pairs  # one-word edit -> small hamming
     assert all(a < 4 and b < 4 for a, b in pairs)
+
+
+def test_prefix_join_equals_crossjoin_baseline(spark, corpus):
+    """The prefix-filtered similarity join (scale path) must return the
+    EXACT same pair set + values as the O(n^2) baseline — including docs
+    with fewer than n words (partial-shingle edge case)."""
+    from fluent_server_spark.operators.dedup import jaccard_join_prefix
+
+    shorts = spark.createDataFrame(
+        [(100, "hi"), (101, "hi"), (102, "one two"), (103, "one two"), (104, "")],
+        "doc_id long, text string",
+    )
+    docs = corpus.unionByName(shorts)
+    for t in (0.2, 0.5, 0.9):
+        exact = {
+            (r.a_id, r.b_id): r.jaccard
+            for r in ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        pref = {
+            (r.a_id, r.b_id): r.jaccard
+            for r in jaccard_join_prefix(docs, threshold=t).collect()
+        }
+        assert pref == exact
+    assert (100, 101) in pref and pref[(100, 101)] == 1.0
+
+
+def test_short_docs_match_duckdb_oracle(spark):
+    """ADVICE r1: the SQL gram construction must agree with Spark's
+    partial shingle for <3-word docs (w[i+2] NULL-gram divergence)."""
+    import duckdb
+    import pandas as pd
+
+    from fluent_server_spark.queries.docs import JACCARD_THRESHOLD, SQL_NGRAM_JACCARD_PAIRS
+    from fluent_server_spark.operators.dedup import jaccard_join_prefix
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5],
+            "text": ["hi", "hi", "one two", "one two three", "one two three four", ""],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        jaccard_join_prefix(sdf, threshold=JACCARD_THRESHOLD)
+        .toPandas()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = (
+        con.sql(SQL_NGRAM_JACCARD_PAIRS)
+        .df()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
