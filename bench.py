@@ -54,9 +54,14 @@ HEADLINE_QUERIES = [
     "doc_fingerprints",
     "minhash_neardup_pairs",
     "simhash_neardup_pairs",
-    "embedding_neardup_pairs",
+    # embedding_neardup_pairs (exact O(n^2) cross join) is deliberately
+    # NOT benched: it is the sf0.01 oracle anchor only. The benched
+    # near-dup headline is the LSH scale path, same for ANN.
+    "embedding_neardup_lsh",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
+    "ann_topk_ivf",
+    "doc_lang_id",
 ]
 
 PIPELINE_ROWS_DEFAULT = 5_000_000

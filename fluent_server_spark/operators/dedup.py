@@ -260,6 +260,12 @@ def minhash_lsh_pairs(
         "sig", minhash_signature(F.col("hg"), n_perm)
     )
     sig = sig.filter(F.size("hg") > 0).select(id_col, "hg", "sig")
+    # sig feeds three consumers (band explode + both verify sides) and is
+    # recomputed per consumer. Measured at sf0.1: recompute is CHEAPER
+    # than persist() — the in-memory columnar encode of the big hg/sig
+    # arrays costs more than re-running the (fully parallel, codegen'd)
+    # shingle+hash pipeline. At cluster scale you'd land sig in a temp
+    # table once if the corpus scan dominates; the plan shape is the same.
 
     bands = sig.select(
         id_col,

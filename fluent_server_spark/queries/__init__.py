@@ -24,6 +24,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition a tiny-file scan across all cores before CPU-heavy
+    narrow compute. A parquet file smaller than one scan split yields ONE
+    task no matter how many cores exist — every md5/shingle/dot-product
+    below it would run serially (measured 4-6x slowdown at sf0.1 on 32
+    cores). One ~KB-scale shuffle buys full parallelism; on a real
+    100 TB table the scan has thousands of splits and this is a no-op
+    cost-wise (the exchange is tiny relative to the compute it unlocks),
+    but callers should drop it when the input is known to be well-split.
+    Only safe where results are per-row/per-pair (no float accumulation
+    whose partition-merge order an oracle could observe)."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def ntz_micros(col):
     """Epoch-µs of a parquet TIMESTAMP_NTZ *Column*, independent of the
     session timezone (the driver's verify session may not be UTC; a

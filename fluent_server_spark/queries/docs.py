@@ -30,7 +30,7 @@ from fluent_server_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from fluent_server_spark.queries import QuerySpec, load_table
+from fluent_server_spark.queries import QuerySpec, load_table, spread
 
 _NORM_SQL = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
 
@@ -76,7 +76,7 @@ FROM documents
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", winnow_fingerprint(F.col("text")).alias("winnow_fp")
     )
@@ -117,7 +117,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant survives only as the pytest baseline (`ngram_jaccard_pairs`
     operator) — it is no longer a driver/bench query shape."""
     return jaccard_join_prefix(
-        load_table(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
+        spread(load_table(spark, sf_dir, "documents")), threshold=JACCARD_THRESHOLD
     )
 
 
@@ -150,7 +150,7 @@ def q_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the generated SQL below replays the IDENTICAL algorithm in DuckDB
     — signature, banding, candidate join, exact verify."""
     return minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
+        spread(load_table(spark, sf_dir, "documents")), threshold=JACCARD_THRESHOLD
     )
 
 
@@ -213,7 +213,7 @@ MAX_HAMMING = 6
 
 def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(
-        load_table(spark, sf_dir, "documents"), max_hamming=MAX_HAMMING
+        spread(load_table(spark, sf_dir, "documents")), max_hamming=MAX_HAMMING
     )
 
 

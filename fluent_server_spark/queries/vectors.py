@@ -21,7 +21,7 @@ from fluent_server_spark.operators.similarity import (
     l2_norm,
     lsh_topk,
 )
-from fluent_server_spark.queries import QuerySpec, load_table
+from fluent_server_spark.queries import QuerySpec, load_table, spread
 
 NEARDUP_THRESHOLD = 0.4  # driver embeddings are near-orthogonal (max ~0.51)
 TOPK_K = 5
@@ -100,7 +100,7 @@ LSH_TOPK_SEED = 42
 
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane buckets (scale path)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     return lsh_topk(
         queries, emb, dim=EMB_DIM, k=TOPK_K, n_planes=LSH_TOPK_PLANES,
@@ -218,7 +218,7 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     + exact cosine verify — the benched headline (the O(n^2) exact
     cross join survives only as the sf0.01 oracle anchor)."""
     return cosine_neardup_lsh(
-        load_table(spark, sf_dir, "embeddings"),
+        spread(load_table(spark, sf_dir, "embeddings")),
         dim=EMB_DIM,
         threshold=NEARDUP_THRESHOLD,
         n_planes=NEARDUP_LSH_PLANES,
