@@ -52,10 +52,10 @@ def ntz_micros(col):
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    from fluent_server_spark.queries import docs, events, media, tpch, vectors
+    from fluent_server_spark.queries import docs, events, media, spool, tpch, vectors
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (events, tpch, docs, vectors, media):
+    for mod in (events, tpch, docs, vectors, media, spool):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

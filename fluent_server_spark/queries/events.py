@@ -377,8 +377,59 @@ GROUP BY user_id HAVING count(*) >= {HEAVY_USER_MIN}
 """
 
 
+TAG_ROUTE_RULES: list[tuple[str, str]] = [
+    # fluentd-style dotted <match> patterns, first-match-wins
+    ("svc.error.**", "sink_err"),
+    ("svc.*.0", "sink_zero"),
+    ("svc.click.*", "sink_click"),
+    ("svc.vi*.2", "sink_view2"),
+    ("**", "sink_other"),
+]
+
+
+def q_tagged_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route on COMPOSED DOTTED TAGS (the reference's tag world:
+    contrib/js/index.js:4,22 builds `tag_prefix.my_tag`, the mirror keys
+    on the full tag, mirror/mirror.go:30-37) with fluentd dot-segment
+    wildcards — `a.*` one segment, `a.**` any suffix — compiled into the
+    same narrow first-match CASE chain as the main router."""
+    from fluent_server_spark.operators.route import compile_tag_routes
+
+    ev = load_table(spark, sf_dir, "events")
+    tag = F.concat_ws(
+        ".", F.lit("svc"), F.col("event_type"), (F.col("user_id") % 3).cast("string")
+    )
+    routed = ev.withColumn("sink", compile_tag_routes(tag, TAG_ROUTE_RULES))
+    return routed.groupBy("sink").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def _sql_tagged_route_counts() -> str:
+    from fluent_server_spark.operators.route import tag_pattern_regex
+
+    whens = " ".join(
+        f"WHEN regexp_matches(tag, '{tag_pattern_regex(pat)}') THEN '{sink}'"
+        for pat, sink in TAG_ROUTE_RULES
+    )
+    return f"""
+WITH t AS (
+  SELECT concat('svc.', event_type, '.', CAST(user_id % 3 AS VARCHAR)) AS tag,
+         user_id
+  FROM events),
+r AS (SELECT user_id, CASE {whens} END AS sink FROM t)
+SELECT sink, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+FROM r GROUP BY sink
+"""
+
+
+SQL_TAGGED_ROUTE_COUNTS = _sql_tagged_route_counts()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "route_events": QuerySpec(q_route_events, SQL_ROUTE_EVENTS),
+    "tagged_route_counts": QuerySpec(q_tagged_route_counts, SQL_TAGGED_ROUTE_COUNTS),
     "asof_last_error": QuerySpec(q_asof_last_error, SQL_ASOF_LAST_ERROR),
     "user_journey": QuerySpec(q_user_journey, SQL_USER_JOURNEY),
     "heavy_users": QuerySpec(q_heavy_users, SQL_HEAVY_USERS),

@@ -86,12 +86,35 @@ def src_synthetic(spark: SparkSession, location: str) -> DataFrame:
     return synth_turns_spark(spark, n_rows, n_convs=n_convs)
 
 
+def src_fluent_file(spark: SparkSession, location: str) -> DataFrame:
+    """Fluent-forward spool files (the reference's wire format at rest:
+    concatenated msgpack [time, record] entries, EventTime ext(0),
+    optional gzip — defaultreader/reader.go:51-77, message/time.go:31-53).
+    Entry records carry the turn fields; the entry time is `ts`."""
+    from pyspark.sql import functions as F
+
+    from fluent_server_spark.sources.fluentfile import read_spool_files
+
+    raw = read_spool_files(spark, location)
+    return _cast(
+        raw.select(
+            F.col("record")["conv_id"].alias("conv_id"),
+            F.col("record")["turn_idx"].alias("turn_idx"),
+            F.col("record")["role"].alias("role"),
+            F.col("record")["text"].alias("text"),
+            F.col("record")["tool"].alias("tool"),
+            F.col("ts").alias("ts"),
+        )
+    )
+
+
 SOURCES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parquet": src_parquet,
     "csv": src_csv,
     "json": src_json,
     "iceberg": src_iceberg,
     "synthetic": src_synthetic,
+    "fluent-file": src_fluent_file,
 }
 
 

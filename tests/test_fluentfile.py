@@ -94,3 +94,35 @@ def test_bad_blob_raises(tmp_path):
         list(decode_spool_blob(bytes([0x91, 0x01])))  # fixarray(1), not an entry
     with pytest.raises(MsgpackError):
         list(decode_spool_blob(bytes([0xC1])))  # reserved code
+
+
+def test_fluent_file_source_feeds_pipeline_schema(spark, tmp_path):
+    """registry 'fluent-file' source: spool entries -> canonical turns
+    schema, ready for the full parse->route pipeline."""
+    from fluent_server_spark.sources.registry import load_turns
+
+    entries = [
+        (
+            (1_700_000_000 + i, 42),
+            {
+                "conv_id": f"c{i % 2}",
+                "turn_idx": i,
+                "role": "assistant",
+                "text": f'level=INFO component=planner msg="s{i}" dur_ms={i} tokens=1',
+                "tool": "search",
+            },
+        )
+        for i in range(6)
+    ]
+    write_spool_file(str(tmp_path / "conv.alpha.msgpack"), entries)
+    turns = load_turns(spark, "fluent-file", str(tmp_path))
+    assert [f.name for f in turns.schema.fields] == [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+    ]
+    rows = turns.orderBy("turn_idx").collect()
+    assert len(rows) == 6 and rows[3].conv_id == "c1" and rows[3].turn_idx == 3
+
+    from fluent_server_spark.functions.parse import parse_turns
+
+    parsed = parse_turns(turns).select("parsed.*").collect()
+    assert all(r.parse_ok for r in parsed)

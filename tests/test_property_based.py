@@ -61,10 +61,21 @@ def test_parser_matches_re_oracle(spark, batch):
 # ---------------------------------------------------------------- router
 
 name = st.sampled_from(["alpha", "beta", "gamma", "al", "alp", "b", ""])
+seg = st.sampled_from(["app", "web", "db", "ap", "a", "logs"])
+tag_value = st.lists(seg, min_size=1, max_size=4).map(".".join)
+tag_seg_pattern = st.one_of(st.just("*"), seg, seg.map(lambda s: s + "*"))
+tag_pattern = st.one_of(
+    st.just("**"),
+    st.lists(tag_seg_pattern, min_size=1, max_size=3).map(".".join),
+    st.lists(tag_seg_pattern, min_size=1, max_size=2).map(
+        lambda ps: ".".join(ps + ["**"])
+    ),
+)
 pattern = st.one_of(
     st.just("*"),
     name,
     name.map(lambda s: s + "*"),
+    tag_pattern,  # fluentd dot-segment grammar, same first-match CASE
 )
 
 
@@ -83,9 +94,38 @@ def rule_sets(draw):
 def _py_match(value: str, pat: str) -> bool:
     if pat == "*":
         return True
+    if "." in pat or pat == "**":
+        return _py_tag_match(value, pat)
     if pat.endswith("*"):
         return value.startswith(pat[:-1])
     return value == pat
+
+
+def _py_tag_match(value: str, pat: str) -> bool:
+    """Independent (non-regex) oracle for fluentd dot-segment patterns."""
+    pparts = pat.split(".")
+    vparts = value.split(".")
+    deep = pparts[-1] == "**"
+    if deep:
+        pparts = pparts[:-1]
+        if len(vparts) < len(pparts):
+            return False
+        # the absorbed suffix segments must be non-empty (regex [^.]+)
+        if any(s == "" for s in vparts[len(pparts):]):
+            return False
+        vparts = vparts[: len(pparts)]
+    elif len(vparts) != len(pparts):
+        return False
+    for p, v in zip(pparts, vparts):
+        if p == "*":
+            ok = v != ""
+        elif p.endswith("*"):
+            ok = v.startswith(p[:-1])
+        else:
+            ok = v == p
+        if not ok:
+            return False
+    return True
 
 
 def _py_route(rules, role, tool, level, ok):
@@ -101,10 +141,13 @@ def _py_route(rules, role, tool, level, ok):
     return "sink_default"
 
 
+value = st.one_of(name, tag_value)  # plain and dotted tag values
+
+
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rule_sets(),
-    st.lists(st.tuples(name, name, name, st.booleans()), min_size=1, max_size=50),
+    st.lists(st.tuples(value, value, value, st.booleans()), min_size=1, max_size=50),
 )
 def test_route_compiler_matches_python_oracle(spark, rules, rows):
     df = spark.createDataFrame(

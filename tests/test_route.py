@@ -62,3 +62,25 @@ def test_route_is_single_projection(spark):
     )
     plan = routed._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_tag_pattern_regex_literals():
+    """Fluentd dot-segment semantics pinned on literals
+    (contrib/js/index.js:4,22 composes dotted tags; mirror/mirror.go:30-37
+    keys on the full tag)."""
+    import re
+
+    from fluent_server_spark.operators.route import tag_pattern_regex
+
+    cases = [
+        ("a.*", {"a.b": True, "a": False, "a.b.c": False, "x.b": False}),
+        ("a.**", {"a": True, "a.b": True, "a.b.c": True, "ab": False, "b.a": False}),
+        ("**", {"a": True, "a.b.c": True, "": False}),
+        ("web.ap*.logs", {"web.app.logs": True, "web.ap.logs": True,
+                          "web.xpp.logs": False, "web.app.logs.x": False}),
+        ("*.err", {"db.err": True, "err": False, "a.b.err": False}),
+    ]
+    for pat, checks in cases:
+        rx = re.compile(tag_pattern_regex(pat))
+        for value, want in checks.items():
+            assert bool(rx.match(value)) == want, (pat, value)
