@@ -73,6 +73,22 @@ class CheckpointLog:
                     out[rec.group_id] = rec
         return out
 
+    def all_committed(self) -> list[GroupCommit]:
+        """All committed records in log (= commit) order — the manifest
+        stream snapshot reads replay."""
+        out: list[GroupCommit] = []
+        if not os.path.exists(self.path):
+            return out
+        with open(self.path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = GroupCommit(**json.loads(line))
+                if rec.status == "committed":
+                    out.append(rec)
+        return out
+
     def commit(self, rec: GroupCommit) -> None:
         # single atomic append per group; fsync so a crash right after the
         # sink write either has the record (skip on resume) or not (replay,

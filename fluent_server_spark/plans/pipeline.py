@@ -27,6 +27,8 @@ Scale design (10^12 turns):
 
 from __future__ import annotations
 
+import os
+import shutil
 import uuid
 from dataclasses import dataclass, field
 
@@ -54,6 +56,24 @@ class InjectedFailure(RuntimeError):
     """Raised by the fault-injection hook in resume tests."""
 
 
+def _list_partitions(write_root: str, group_id: int, cfg: "PipelineConfig") -> list[str]:
+    """(sink=?/bucket=?) partition dirs a group landed under write_root —
+    the manifest listing for snapshot mode."""
+    out: list[str] = []
+    if not os.path.isdir(write_root):
+        return out
+    for sdir in os.listdir(write_root):
+        if not sdir.startswith("sink="):
+            continue
+        for bdir in os.listdir(os.path.join(write_root, sdir)):
+            if not bdir.startswith("bucket="):
+                continue
+            b = int(bdir.split("=", 1)[1])
+            if cfg.checkpoint_groups == 1 or b % cfg.checkpoint_groups == group_id:
+                out.append(f"{sdir}/{bdir}")
+    return out
+
+
 @dataclass
 class PipelineConfig:
     sinks_path: str
@@ -65,6 +85,15 @@ class PipelineConfig:
     # sink compression — the reference's gzip packed-forward blobs
     # (defaultreader/reader.go:53-59) map to the parquet page codec
     codec: str = "zstd"
+    # snapshots=True gives the sink table Iceberg-style snapshot
+    # isolation + time travel WITHOUT the (sandbox-unavailable) runtime
+    # jars: each run writes into its own run_id=<id> directory (never
+    # deleting a previous run's files), the checkpoint log doubles as
+    # the manifest of which run owns each (sink, bucket) partition, and
+    # reads resolve a consistent partition->run mapping (optionally
+    # as-of a past run). The default (False) keeps the in-place
+    # dynamic-overwrite layout.
+    snapshots: bool = False
     rules: list = field(default_factory=lambda: rules_from_rows(ROUTE_RULE_ROWS))
 
 
@@ -159,6 +188,11 @@ class TranscriptPipeline:
             # (event-log measured: 19 tasks on 16 cores = half idle).
             n_write = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
             sub = sub.repartition(n_write, F.col("sink"), F.col("bucket"))
+            write_root = (
+                f"{cfg.sinks_path}/run_id={run_id}"
+                if cfg.snapshots
+                else cfg.sinks_path
+            )
             (
                 sub.write.mode("overwrite")
                 # pinned at the writer: under the Spark default (static)
@@ -169,9 +203,15 @@ class TranscriptPipeline:
                 .option("partitionOverwriteMode", "dynamic")
                 .option("compression", cfg.codec)
                 .partitionBy("sink", "bucket")
-                .parquet(cfg.sinks_path)
+                .parquet(write_root)
             )
             m = obs.get
+            extra = {}
+            if cfg.snapshots:
+                # manifest entry: the (sink, bucket) partitions this group
+                # landed — an FS-metadata listing, the same class of
+                # driver work as writing an Iceberg manifest file
+                extra["partitions"] = sorted(_list_partitions(write_root, g, cfg))
             self.checkpoint.commit(
                 GroupCommit(
                     run_id=run_id,
@@ -181,25 +221,87 @@ class TranscriptPipeline:
                     sink_counts={s: int(m[f"s_{s}"] or 0) for s in ALL_SINKS},
                     started_at=started,
                     finished_at=CheckpointLog.now(),
+                    extra=extra,
                 )
             )
             groups_ran += 1
         return run_id
 
     # ---------------------------------------------------------- read back
-    def read_sinks(self, sink: str | None = None) -> DataFrame:
+    def read_sinks(
+        self, sink: str | None = None, as_of_run: str | None = None
+    ) -> DataFrame:
         """Read routed rows back; `sink=` prunes to that partition dir.
+
+        With cfg.snapshots, reads resolve through the manifest: the
+        current snapshot by default, or the table exactly as it stood
+        after `as_of_run`'s last commit (time travel) — byte-identical,
+        since runs never delete one another's files.
 
         An empty run writes no partition files (dynamic overwrite touches
         nothing), so fall back to an empty DataFrame with the sink schema.
         """
         from pyspark.errors import AnalysisException
 
-        try:
-            df = self.spark.read.parquet(self.config.sinks_path)
-        except AnalysisException:
-            df = self.spark.createDataFrame([], SINK_SCHEMA)
+        if self.config.snapshots:
+            df = self._read_snapshot(as_of_run)
+        else:
+            if as_of_run is not None:
+                raise ValueError(
+                    "as_of_run requires PipelineConfig(snapshots=True): the "
+                    "in-place layout overwrites partitions destructively"
+                )
+            try:
+                df = self.spark.read.parquet(self.config.sinks_path)
+            except AnalysisException:
+                df = self.spark.createDataFrame([], SINK_SCHEMA)
         return df.filter(F.col("sink") == sink) if sink else df
+
+    def snapshot_partitions(self, as_of_run: str | None = None) -> dict[str, str]:
+        """Manifest resolution: partition dir -> owning run_id, replaying
+        commit records in log order (the Iceberg snapshot-lineage walk).
+        `as_of_run` pins the state right after that run's last commit."""
+        mapping: dict[str, str] = {}
+        captured: dict[str, str] | None = None
+        seen = False
+        for rec in self.checkpoint.all_committed():
+            for p in rec.extra.get("partitions", []):
+                mapping[p] = rec.run_id
+            if as_of_run is not None and rec.run_id == as_of_run:
+                captured = dict(mapping)
+                seen = True
+        if as_of_run is None:
+            return mapping
+        if not seen:
+            raise ValueError(f"no committed snapshot for run {as_of_run!r}")
+        return captured or {}
+
+    def _read_snapshot(self, as_of_run: str | None) -> DataFrame:
+        mapping = self.snapshot_partitions(as_of_run)
+        if not mapping:
+            return self.spark.createDataFrame([], SINK_SCHEMA)
+        root = self.config.sinks_path
+        paths = [f"{root}/run_id={r}/{p}" for p, r in sorted(mapping.items())]
+        df = self.spark.read.option("basePath", root).parquet(*paths)
+        return df.drop("run_id")
+
+    def vacuum_snapshots(self) -> list[str]:
+        """Expire-snapshots analogue: delete run directories the CURRENT
+        snapshot no longer references. Time travel to expired runs stops
+        working (exactly Iceberg's expire contract); the current table is
+        untouched. Returns the removed run ids."""
+        if not self.config.snapshots:
+            return []
+        live = set(self.snapshot_partitions().values())
+        removed: list[str] = []
+        root = self.config.sinks_path
+        if not os.path.isdir(root):
+            return removed
+        for d in os.listdir(root):
+            if d.startswith("run_id=") and d.split("=", 1)[1] not in live:
+                shutil.rmtree(os.path.join(root, d))
+                removed.append(d.split("=", 1)[1])
+        return removed
 
     def aggregates(self) -> dict[str, DataFrame]:
         """The mirror-JSON analogue: aggregate tables over written sinks."""
