@@ -101,6 +101,7 @@ def run_pipeline_bench(
     turns = spark.read.parquet(src)
     work = tempfile.mkdtemp(prefix="fss-bench-", dir=work_root)
     try:
+        lean = os.environ.get("SPARK_GRAFT_SINK_VARIANT") == "lean"
         cfg = PipelineConfig(
             sinks_path=f"{work}/sinks",
             checkpoint_path=f"{work}/ckpt.jsonl",
@@ -109,6 +110,10 @@ def run_pipeline_bench(
             n_salt=8,
             checkpoint_groups=1,
             codec="snappy",  # bench: cheapest CPU; zstd is the at-rest default
+            # lean sink variant (scaling experiments): drop the msg column
+            # (re-extractable from text) and dictionary pages
+            sink_drop_cols=("msg",) if lean else (),
+            parquet_dictionary=not lean,
         )
         pipe = TranscriptPipeline(spark, cfg)
         t0 = time.time()

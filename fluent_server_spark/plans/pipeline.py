@@ -94,6 +94,13 @@ class PipelineConfig:
     # as-of a past run). The default (False) keeps the in-place
     # dynamic-overwrite layout.
     snapshots: bool = False
+    # write-stage CPU knobs (parquet encode is ~half the pipeline CPU):
+    # sink_drop_cols prunes columns derivable from `text` (e.g. "msg" —
+    # re-extractable by the parser) before the write; parquet_dictionary
+    # toggles dictionary encoding for the string-heavy pages. Defaults
+    # keep the full contract schema. Measured effect: see BENCH/BASELINE.md.
+    sink_drop_cols: tuple = ()
+    parquet_dictionary: bool = True
     rules: list = field(default_factory=lambda: rules_from_rows(ROUTE_RULE_ROWS))
 
 
@@ -187,6 +194,8 @@ class TranscriptPipeline:
             # advisory target otherwise coalesces below core count
             # (event-log measured: 19 tasks on 16 cores = half idle).
             n_write = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            if cfg.sink_drop_cols:
+                sub = sub.drop(*cfg.sink_drop_cols)
             sub = sub.repartition(n_write, F.col("sink"), F.col("bucket"))
             write_root = (
                 f"{cfg.sinks_path}/run_id={run_id}"
@@ -202,6 +211,10 @@ class TranscriptPipeline:
                 # Correctness must not depend on how the session was built.
                 .option("partitionOverwriteMode", "dynamic")
                 .option("compression", cfg.codec)
+                .option(
+                    "parquet.enable.dictionary",
+                    "true" if cfg.parquet_dictionary else "false",
+                )
                 .partitionBy("sink", "bucket")
                 .parquet(write_root)
             )

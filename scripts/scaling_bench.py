@@ -52,7 +52,7 @@ def calibrate(procs: int = 16, n: int = 8_000_000) -> float:
     return round(procs * n / (time.time() - t0) / 1e6, 1)
 
 
-def run_level(cpus: int, rows: int, convs: int) -> dict:
+def run_level(cpus: int, rows: int, convs: int, variant: str = "base") -> dict:
     cmd = [
         sys.executable,
         os.path.join(REPO, "bench.py"),
@@ -62,8 +62,11 @@ def run_level(cpus: int, rows: int, convs: int) -> dict:
         "--skip-queries",
         "--no-variants",
     ]
+    env = dict(os.environ)
+    if variant == "lean":
+        env["SPARK_GRAFT_SINK_VARIANT"] = "lean"
     out = subprocess.run(
-        cmd, capture_output=True, text=True, cwd=REPO, timeout=1800
+        cmd, capture_output=True, text=True, cwd=REPO, timeout=1800, env=env
     )
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)["pipeline"]
@@ -76,6 +79,9 @@ def main() -> int:
     ap.add_argument("--repeats", type=int, default=6)
     ap.add_argument("--n", type=int, default=4)
     ap.add_argument("--n4", type=int, default=16)
+    ap.add_argument("--variant", default="base", choices=["base", "lean"])
+    ap.add_argument("--no-md", action="store_true",
+                    help="print JSON only; do not rewrite BENCH/BASELINE.md")
     args = ap.parse_args()
 
     # INTERLEAVED pairs, each tagged with a raw-CPU calibration: host
@@ -91,7 +97,7 @@ def main() -> int:
         cal = calibrate()
         pair = {"calibration_mops": cal}
         for cpus in (args.n, args.n4):
-            r = run_level(cpus, args.rows, args.convs)
+            r = run_level(cpus, args.rows, args.convs, args.variant)
             runs[cpus].append(r["wall_sec"])
             pair[str(cpus)] = r
             if cpus not in best or r["wall_sec"] < best[cpus]["wall_sec"]:
@@ -113,6 +119,7 @@ def main() -> int:
     t4n = cleanest[str(args.n4)]["turns_per_sec"]
     eff = cleanest["efficiency"]
     result = {
+        "variant": args.variant,
         "rows": args.rows,
         "n_cores": args.n,
         "n4_cores": args.n4,
@@ -127,6 +134,13 @@ def main() -> int:
     }
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(
+        os.path.join(REPO, "BENCH", f"scaling_{args.variant}.json"), "w"
+    ) as f:
+        json.dump(result, f, indent=1)
+    if args.no_md:
+        print(json.dumps(result))
+        return 0 if eff >= 0.8 else 1
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH — measured baseline & scaling evidence
 
