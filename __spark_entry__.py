@@ -7,9 +7,12 @@ order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
 Query implementations live in fluent_server_spark/queries/*; each
 pairs the Spark DataFrame plan with its DuckDB oracle SQL so they
-cannot drift apart. Rows-only entries (sql=None) are the genuinely
-non-SQL-expressible ops (MinHash/SimHash/LSH/lang-id), whose
-semantics are pinned by pytest against exact baselines instead.
+cannot drift apart. As of round 2 there are NO rows-only entries:
+the approximate ops (MinHash/SimHash/hyperplane-LSH/IVF/lang-id)
+are built on md5 hashes, literal hyperplanes, and deterministic
+centroids precisely so the identical algorithm replays in generated
+SQL; their approximate-vs-exact recall is additionally pinned in
+pytest.
 """
 
 from __future__ import annotations
