@@ -148,9 +148,14 @@ def cosine_neardup_lsh(
             with_buckets, dim, n_planes, seed + 1000 * t, vec_col, out=f"_b{t}"
         )
         bucket_cols.append(f"_b{t}")
+    # Candidates travel as BARE ID PAIRS: at a loose threshold the
+    # candidate set is large (few buckets -> many collisions), and
+    # carrying two 64-float vectors per candidate through the join +
+    # dedup shuffle moved ~60x more bytes than the ids (measured 2x the
+    # whole query's wall time at sf0.1). Vectors join back once per side
+    # AFTER dedup, against the small vector relation.
     tables = with_buckets.select(
         id_col,
-        vec_col,
         F.explode(
             F.array(
                 *[
@@ -159,21 +164,36 @@ def cosine_neardup_lsh(
                 ]
             )
         ).alias("tb"),
-    ).select(id_col, vec_col, "tb.tbl", "tb.bkt")
-    left = tables.select(
-        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), "tbl", "bkt"
-    )
-    right = tables.select(
-        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), "tbl", "bkt"
-    )
+    ).select(id_col, "tb.tbl", "tb.bkt")
+    left = tables.select(F.col(id_col).alias("a_id"), "tbl", "bkt")
+    right = tables.select(F.col(id_col).alias("b_id"), "tbl", "bkt")
     cand = (
         left.join(right, ["tbl", "bkt"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_vec", "b_vec")
-        .dropDuplicates(["a_id", "b_id"])
+        .select("a_id", "b_id")
+        .distinct()
     )
+    # norms are a per-VECTOR quantity: compute once and carry the scalar,
+    # so the per-pair verify is one dot product instead of three array
+    # folds (same arithmetic as cosine() — dot/(|a|*|b|) — so the SQL
+    # oracle's values are bit-identical)
+    v = vectors.select(
+        id_col, vec_col, l2_norm(F.col(vec_col)).alias("_nrm")
+    )
+    a_v = v.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("a_vec"),
+        F.col("_nrm").alias("a_nrm"),
+    )
+    b_v = v.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+        F.col("_nrm").alias("b_nrm"),
+    )
+    verified = cand.join(a_v, "a_id").join(b_v, "b_id")
+    cos = dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_nrm") * F.col("b_nrm"))
     return (
-        cand.withColumn("cos", cosine(F.col("a_vec"), F.col("b_vec")))
+        verified.withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)
         .select("a_id", "b_id", F.round("cos", 6).alias("cos"))
     )
