@@ -287,21 +287,14 @@ def _tag_from_path(path: str) -> str:
     return name
 
 
-def read_spool_files(spark, path_glob: str):
-    """DataFrame over a directory/glob of fluent spool files.
+def decode_files_df(files):
+    """(path, content) DataFrame -> decoded spool rows via mapInPandas.
 
-    binaryFile scan (one task per file — rotation-bounded sizes) ->
-    mapInPandas decode. Record values are stringified into a
-    map<string,string> column; ts is TIMESTAMP_NTZ µs with the
-    nanosecond remainder carried losslessly in ts_nsec.
+    Shared by the batch reader and the streaming tail — the decode is a
+    narrow Arrow-batched operator either way. Record values are
+    stringified into a map<string,string> column; ts is TIMESTAMP_NTZ µs
+    with the nanosecond remainder carried losslessly in ts_nsec.
     """
-    import pyspark.sql.functions as F  # noqa: F401  (kept for parity with registry imports)
-
-    files = (
-        spark.read.format("binaryFile")
-        .load(path_glob)
-        .select("path", "content")
-    )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -320,3 +313,16 @@ def read_spool_files(spark, path_glob: str):
             yield pd.DataFrame(rows, columns=["tag", "ts", "ts_nsec", "record"])
 
     return files.mapInPandas(decode, schema=SPOOL_SCHEMA)
+
+
+def read_spool_files(spark, path_glob: str):
+    """DataFrame over a directory/glob of fluent spool files.
+
+    binaryFile scan (one task per file — rotation-bounded sizes) ->
+    mapInPandas decode."""
+    files = (
+        spark.read.format("binaryFile")
+        .load(path_glob)
+        .select("path", "content")
+    )
+    return decode_files_df(files)

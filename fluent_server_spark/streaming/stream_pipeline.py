@@ -52,6 +52,48 @@ def stream_routed(
     return route_turns(enriched, rules_from_rows(ROUTE_RULE_ROWS))
 
 
+def stream_spool_routed(
+    spark: SparkSession,
+    spool_dir: str,
+    parse_impl: str = "native",
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Tail a LIVE fluentd spool directory as a stream: each new spool
+    file (a rotated per-tag chunk of concatenated msgpack entries — the
+    reference's PackedForward blob at rest, defaultreader/reader.go:51-77)
+    plays the role of a new forward connection. binaryFile file-stream ->
+    the same Arrow-batched msgpack decode as batch (sources/fluentfile.py)
+    -> the IDENTICAL parse/enrich/route transform. This is the closest a
+    batch-first engine gets to the reference's accept loop: at-least-once
+    per file, upgraded to exactly-once per micro-batch by the sink writer.
+    """
+    files = (
+        spark.readStream.format("binaryFile")
+        # binaryFile's schema is fixed, but a STREAMING source requires
+        # it stated explicitly (no inference on unbounded input)
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(spool_dir)
+        .select("path", "content")
+    )
+    from fluent_server_spark.sources.fluentfile import decode_files_df
+
+    decoded = decode_files_df(files)
+    turns = decoded.select(
+        F.col("record")["conv_id"].alias("conv_id"),
+        F.col("record")["turn_idx"].cast("int").alias("turn_idx"),
+        F.col("record")["role"].alias("role"),
+        F.col("record")["text"].alias("text"),
+        F.col("record")["tool"].alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    parsed = parse_turns(turns, impl=parse_impl)
+    enriched = enrich_turns(parsed, lookup_df(spark))
+    return route_turns(enriched, rules_from_rows(ROUTE_RULE_ROWS))
+
+
 def windowed_sink_counts(
     routed: DataFrame, window: str = "1 minute", watermark: str = "2 minutes"
 ) -> DataFrame:

@@ -67,3 +67,70 @@ def test_windowed_counts_match_batch(spark, stream_src):
     )
     got2 = got[["win_start", "sink", "n_turns"]]
     pd.testing.assert_frame_equal(got2, want, check_dtype=False)
+
+
+def test_stream_spool_tail_matches_batch(spark, tmp_path):
+    """Tailing a spool directory as a stream must route identically to
+    the batch fluent-file path — one decode, one transform graph, two
+    execution modes."""
+    from fluent_server_spark.sources.fluentfile import write_spool_file
+    from fluent_server_spark.sources.registry import load_turns
+    from fluent_server_spark.streaming.stream_pipeline import stream_spool_routed
+    from fluent_server_spark.functions.parse import parse_turns
+    from fluent_server_spark.operators.enrich import enrich_turns
+    from fluent_server_spark.operators.route import route_turns, rules_from_rows
+    from fluent_server_spark.data.synth import ROUTE_RULE_ROWS, lookup_df
+
+    spool = tmp_path / "spool"
+    for f in range(3):
+        write_spool_file(
+            str(spool / f"agent.chunk{f}.msgpack"),
+            [
+                (
+                    (1_700_000_000 + 100 * f + i, 500),
+                    {
+                        "conv_id": f"c{f}",
+                        "turn_idx": i,
+                        "role": "assistant" if i % 2 else "user",
+                        "text": f'level=INFO component=planner msg="s{i}" dur_ms={i} tokens=2',
+                        "tool": "search" if i % 3 else "none",
+                    },
+                )
+                for i in range(8)
+            ],
+            compress=(f == 1),
+        )
+
+    got = None
+    q = (
+        stream_spool_routed(spark, str(spool), max_files_per_trigger=1)
+        .select("conv_id", "turn_idx", "sink")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("spool_tail")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = (
+            spark.sql("SELECT * FROM spool_tail")
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+    finally:
+        q.stop()
+
+    batch_turns = load_turns(spark, "fluent-file", str(spool))
+    batch = route_turns(
+        enrich_turns(parse_turns(batch_turns), lookup_df(spark)),
+        rules_from_rows(ROUTE_RULE_ROWS),
+    ).select("conv_id", "turn_idx", "sink").toPandas().sort_values(
+        ["conv_id", "turn_idx"]
+    ).reset_index(drop=True)
+
+    import pandas as pd
+
+    assert len(got) == 24
+    pd.testing.assert_frame_equal(got, batch)
