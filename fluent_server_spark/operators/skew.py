@@ -41,8 +41,13 @@ def salted_count(
 ) -> DataFrame:
     """Two-phase count for skewed keys: partial agg on (key, salt) — the
     hot key becomes n_salt map-side groups — then final agg on key.
-    Shuffle rows: n_keys * n_salt, independent of input size."""
-    salt = F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n_salt))
+    Shuffle rows: n_keys * n_salt, independent of input size.
+
+    Salt = row hash over ALL columns: deterministic per row, so a
+    partial-stage task retry re-produces byte-identical partial counts
+    (monotonically_increasing_id would not — it varies across retries;
+    the final re-aggregation made that correct but not byte-stable)."""
+    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salt))
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(key, "_salt")
