@@ -309,6 +309,69 @@ def minhash_lsh_pairs(
     )
 
 
+# ------------------------------------------------- connected components
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair set -> (id, component),
+    component = min node id reachable. THE closing step of every corpus
+    dedup: pair lists don't dedup a corpus, clusters do (doc A~B, B~C
+    must collapse to ONE keeper even when A~C was never emitted).
+
+    Algorithm: hash-to-min label propagation (the standard MapReduce CC
+    recipe, e.g. Rastogi et al. ICDE'13 shapes) as a DataFrame loop —
+    each round every node takes the min of its own and its neighbors'
+    labels; converges in O(cluster diameter) rounds, and near-dup
+    clusters are shallow (dups of a common source). Each round is one
+    equi-join + one groupBy; `localCheckpoint` truncates the plan
+    lineage so round N is not a 2^N-deep tree (the classic iterative-
+    DataFrame trap). Convergence check = one tiny action per round on
+    the monotonically-decreasing label sum.
+    """
+    F_ = F
+    edges = pairs.select(
+        F_.col(a_col).cast("long").alias("src"), F_.col(b_col).cast("long").alias("dst")
+    )
+    edges = (
+        edges.union(edges.select(F_.col("dst").alias("src"), F_.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F_.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F_.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F_.sum("label")).first()[0]
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F_.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                labels["id"],
+                F_.least(
+                    labels["label"], F_.coalesce(nbr["nbr_label"], labels["label"])
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F_.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F_.col("id"), F_.col("label").alias("component"))
+
+
 # ----------------------------------------------------------------- SimHash
 
 

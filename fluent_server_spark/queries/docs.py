@@ -208,6 +208,50 @@ SELECT a_id, b_id, jaccard FROM v WHERE jaccard >= {threshold}
 
 SQL_MINHASH_NEARDUP_PAIRS = _sql_minhash_neardup()
 
+
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment — the step that actually dedups a
+    corpus: minhash pairs -> connected components (A~B, B~C collapse to
+    one keeper even when A~C was never emitted) -> (doc_id, cluster_id =
+    min member, cluster_size). Oracled end-to-end: DuckDB replays the
+    identical minhash pipeline and closes it transitively with a
+    recursive CTE."""
+    from pyspark.sql import Window
+
+    from fluent_server_spark.operators.dedup import connected_components
+
+    pairs = minhash_lsh_pairs(
+        spread(load_table(spark, sf_dir, "documents")), threshold=JACCARD_THRESHOLD
+    )
+    comp = connected_components(pairs).select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id")
+    return comp.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+
+
+SQL_NEARDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a_id, b_id FROM ({SQL_MINHASH_NEARDUP_PAIRS}) mh
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id AS src, a_id AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS id, src AS label FROM edges
+  UNION
+  SELECT e.dst AS id, r.label AS label
+  FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp
+"""
+
 MAX_HAMMING = 6
 
 
@@ -376,6 +420,7 @@ QUERIES: dict[str, QuerySpec] = {
     "minhash_neardup_pairs": QuerySpec(
         q_minhash_neardup_pairs, SQL_MINHASH_NEARDUP_PAIRS
     ),
+    "neardup_clusters": QuerySpec(q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
     "simhash_neardup_pairs": QuerySpec(
         q_simhash_neardup_pairs, SQL_SIMHASH_NEARDUP_PAIRS
     ),

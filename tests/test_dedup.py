@@ -141,3 +141,37 @@ def test_short_docs_match_duckdb_oracle(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_connected_components_union_find_oracle(spark):
+    """Hash-to-min CC vs an independent pure-Python union-find on a
+    planted multi-cluster graph (chain, triangle, star, singleton pair)."""
+    from fluent_server_spark.operators.dedup import connected_components
+
+    edges = [
+        (1, 2), (2, 3), (3, 4),        # chain -> component 1
+        (10, 11), (11, 12), (10, 12),  # triangle -> 10
+        (20, 21), (20, 22), (20, 23),  # star -> 20
+        (30, 31),                      # pair -> 30
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+
+    pairs = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert got == want
