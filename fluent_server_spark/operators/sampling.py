@@ -1,0 +1,62 @@
+"""Deterministic, reproducible corpus sampling — the mixing step of a
+training-data pipeline (sample source A at 80%, source B at 15%, ...).
+
+`rand()`-based sampling is NOT reproducible across retries, partitions,
+or engines; at 100 TB a corpus mix must be a PURE FUNCTION of the row so
+re-runs, resumes, and audits see the identical sample. Here the keep
+decision is `md5(salt || key) mod 10^6 < rate * 10^6` — portable
+arithmetic (same construction as the dedup shingle hash), so the DuckDB
+oracle replays the exact sample, and ANY engine can re-derive membership.
+
+This is also how you carve held-out sets that stay disjoint forever:
+different salts give independent hashes, so `sample(salt='train')` and
+`sample(salt='eval')` overlap at exactly the product rate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MOD = 1_000_000
+
+
+def sample_hash(key: Column, salt: str) -> Column:
+    """Uniform [0, 1e6) bucket: first 15 md5 hex chars of salt||key.
+    DuckDB twin: CAST('0x' || substr(md5('<salt>' || CAST(key AS
+    VARCHAR)), 1, 15) AS BIGINT) % 1000000."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15), 16, 10
+    ).cast("bigint")
+    return h % _MOD
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, rate: float, salt: str = "sample"
+) -> DataFrame:
+    """Keep ~rate of rows, decided per-key by hash — reproducible, narrow
+    (no shuffle, no RNG state), and pushdown-friendly (a plain filter)."""
+    return df.filter(sample_hash(F.col(key_col), salt) < int(rate * _MOD))
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    rate_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Per-stratum rates (e.g. per `source`): the corpus-mixing primitive.
+    Rates ride the plan as a literal CASE — no join, no shuffle."""
+    expr = None
+    for value, rate in sorted(rates.items()):
+        cond = F.col(rate_col) == value
+        thresh = F.lit(int(rate * _MOD))
+        expr = F.when(cond, thresh) if expr is None else expr.when(cond, thresh)
+    expr = (
+        expr.otherwise(F.lit(int(default_rate * _MOD)))
+        if expr is not None
+        else F.lit(int(default_rate * _MOD))
+    )
+    return df.filter(sample_hash(F.col(key_col), salt) < expr)

@@ -355,6 +355,48 @@ FROM c
 SQL_DOC_LANG_ID = _sql_doc_lang_id()
 
 
+MIX_RATES = {"src0": 0.9, "src1": 0.5, "src2": 0.1}  # per-source corpus mix
+MIX_DEFAULT = 0.25
+MIX_SALT = "mix"
+
+
+def q_corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing: per-source sampling rates applied as
+    a pure hash-of-key filter (reproducible across retries, engines,
+    runs — rand() is none of those), then the per-(lang, source) counts
+    of the sampled mix. The oracle replays the IDENTICAL membership
+    decision, so a single flipped row flips the hash."""
+    from fluent_server_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = weighted_sample(
+        docs, "doc_id", "source", MIX_RATES, default_rate=MIX_DEFAULT, salt=MIX_SALT
+    )
+    return sampled.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def _sql_corpus_sample_mix() -> str:
+    whens = " ".join(
+        f"WHEN source = '{v}' THEN {int(r * 1_000_000)}"
+        for v, r in sorted(MIX_RATES.items())
+    )
+    keep = (
+        f"CAST('0x' || substr(md5('{MIX_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15) "
+        f"AS BIGINT) % 1000000 < CASE {whens} ELSE {int(MIX_DEFAULT * 1_000_000)} END"
+    )
+    return f"""
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE {keep}
+GROUP BY lang, source
+"""
+
+
+SQL_CORPUS_SAMPLE_MIX = _sql_corpus_sample_mix()
+
 QUALITY_MIN = 0.5
 TOKENS_MIN, TOKENS_MAX = 20, 1000
 
@@ -421,6 +463,7 @@ QUERIES: dict[str, QuerySpec] = {
         q_minhash_neardup_pairs, SQL_MINHASH_NEARDUP_PAIRS
     ),
     "neardup_clusters": QuerySpec(q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
+    "corpus_sample_mix": QuerySpec(q_corpus_sample_mix, SQL_CORPUS_SAMPLE_MIX),
     "simhash_neardup_pairs": QuerySpec(
         q_simhash_neardup_pairs, SQL_SIMHASH_NEARDUP_PAIRS
     ),
