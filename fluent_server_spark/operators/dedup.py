@@ -309,6 +309,77 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_against(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_perm: int = 64,
+    n_bands: int = 16,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """INCREMENTAL near-dup: new batch vs an existing corpus — the shape
+    every production ingest actually runs (today's crawl against the
+    100 TB reference set), where the self-join variant would rehash the
+    whole corpus per increment. Same signature/banding as
+    minhash_lsh_pairs, but candidates come from a CROSS-SET equi-join on
+    (band, bucket): at rest the corpus side's band table is precomputed
+    once and stored (partitioned by band), so an increment touches only
+    matching buckets. Output: (new_id, corpus_id, jaccard).
+    """
+    rows_per_band = n_perm // n_bands
+
+    def prep(docs: DataFrame) -> DataFrame:
+        sig = with_hashed_shingles(docs, text_col, n).withColumn(
+            "sig", minhash_signature(F.col("hg"), n_perm)
+        )
+        return sig.filter(F.size("hg") > 0).select(id_col, "hg", "sig")
+
+    def bands_of(sig: DataFrame) -> DataFrame:
+        return sig.select(
+            id_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            band_bucket(F.col("sig"), b, rows_per_band).alias(
+                                "bucket"
+                            ),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(id_col, "bb.band", "bb.bucket")
+
+    new_sig, corp_sig = prep(new_docs), prep(corpus)
+    cand = (
+        bands_of(new_sig)
+        .select(F.col(id_col).alias("new_id"), "band", "bucket")
+        .join(
+            bands_of(corp_sig).select(
+                F.col(id_col).alias("corpus_id"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    a = new_sig.select(F.col(id_col).alias("new_id"), F.col("hg").alias("a_sh"))
+    b = corp_sig.select(F.col(id_col).alias("corpus_id"), F.col("hg").alias("b_sh"))
+    verified = cand.join(a, "new_id").join(b, "corpus_id")
+    inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
+    union = F.size(F.array_union("a_sh", "b_sh")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        verified.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+
+
 # ------------------------------------------------- connected components
 
 

@@ -209,6 +209,79 @@ SELECT a_id, b_id, jaccard FROM v WHERE jaccard >= {threshold}
 SQL_MINHASH_NEARDUP_PAIRS = _sql_minhash_neardup()
 
 
+NEW_DOC_PRED = "doc_id % 5 = 0"  # deterministic "today's increment" slice
+
+
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: the `doc_id % 5 == 0` slice plays today's
+    ingest batch, the rest plays the standing corpus — cross-set LSH
+    candidates only (never corpus x corpus), the production shape of
+    dedup-on-ingest at 100 TB."""
+    from fluent_server_spark.operators.dedup import minhash_lsh_pairs_against
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    new = docs.filter(F.expr(NEW_DOC_PRED))
+    corpus = docs.filter(~F.expr(NEW_DOC_PRED))
+    return minhash_lsh_pairs_against(new, corpus, threshold=JACCARD_THRESHOLD)
+
+
+def _sql_incremental_neardup(
+    n: int = 3,
+    n_perm: int = 64,
+    n_bands: int = 16,
+    threshold: float = JACCARD_THRESHOLD,
+    seed: int = 1337,
+) -> str:
+    """DuckDB twin of q_incremental_neardup: identical signatures/bands
+    (per-doc, so computing them over the union then splitting at the
+    candidate join is equivalent to the two-sided Spark plan)."""
+    p = _MERSENNE
+    rpb = n_perm // n_bands
+    mins = ",\n         ".join(
+        f"list_min(list_transform(hg, x -> (((x % {p}) * {a}) + {b}) % {p}))"
+        for a, b in minhash_coeffs(n_perm, seed)
+    )
+    return f"""
+WITH wl AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+            FROM documents),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(ws) - {n - 1}, 1) + 1),
+           i -> array_to_string(list_slice(ws, i, i + {n - 1}), ' '))) AS g
+  FROM wl),
+hs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           g, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS hg
+  FROM grams WHERE len(g) > 0),
+sig AS (SELECT doc_id, hg,
+        [{mins}] AS sig
+        FROM hs),
+bands AS (
+  SELECT doc_id, t.r AS band,
+         md5(array_to_string(list_slice(sig, t.r * {rpb} + 1, (t.r + 1) * {rpb}), ',')) AS bucket
+  FROM sig, range({n_bands}) t(r)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id % 5 = 0 AND NOT (b.doc_id % 5 = 0)),
+v AS (
+  SELECT c.new_id, c.corpus_id,
+         round(CAST(len(list_intersect(ha.hg, hb.hg)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(ha.hg, hb.hg))) AS DOUBLE),
+               6) AS jaccard
+  FROM cand c
+  JOIN hs ha ON ha.doc_id = c.new_id
+  JOIN hs hb ON hb.doc_id = c.corpus_id)
+SELECT new_id, corpus_id, jaccard FROM v WHERE jaccard >= {threshold}
+"""
+
+
+SQL_INCREMENTAL_NEARDUP = _sql_incremental_neardup()
+
+
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER assignment — the step that actually dedups a
     corpus: minhash pairs -> connected components (A~B, B~C collapse to
@@ -464,6 +537,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "neardup_clusters": QuerySpec(q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
     "corpus_sample_mix": QuerySpec(q_corpus_sample_mix, SQL_CORPUS_SAMPLE_MIX),
+    "incremental_neardup": QuerySpec(q_incremental_neardup, SQL_INCREMENTAL_NEARDUP),
     "simhash_neardup_pairs": QuerySpec(
         q_simhash_neardup_pairs, SQL_SIMHASH_NEARDUP_PAIRS
     ),

@@ -175,3 +175,29 @@ def test_connected_components_union_find_oracle(spark):
     pairs = spark.createDataFrame(edges, "a_id long, b_id long")
     got = {r.id: r.component for r in connected_components(pairs).collect()}
     assert got == want
+
+
+def test_incremental_neardup_matches_self_join_restriction(spark, corpus):
+    """Cross-set LSH (new batch vs standing corpus) must find exactly the
+    self-join pairs that straddle the split, with identical jaccard."""
+    from pyspark.sql import functions as F
+
+    from fluent_server_spark.operators.dedup import minhash_lsh_pairs_against
+
+    new = corpus.filter(F.col("doc_id") % 2 == 0)
+    old = corpus.filter(F.col("doc_id") % 2 == 1)
+    got = {
+        (r.new_id, r.corpus_id): r.jaccard
+        for r in minhash_lsh_pairs_against(new, old, threshold=0.3).collect()
+    }
+    full = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in minhash_lsh_pairs(corpus, threshold=0.3).collect()
+    }
+    want = {}
+    for (a, b), j in full.items():
+        if a % 2 == 0 and b % 2 == 1:
+            want[(a, b)] = j
+        elif b % 2 == 0 and a % 2 == 1:
+            want[(b, a)] = j
+    assert got == want and len(got) > 0
