@@ -126,6 +126,24 @@ def run_pipeline_bench(
         }
         if not variants:
             return base
+        # lean sink variant (msg pruned + dictionary off): the measured
+        # +10-15% write-stage lever from BENCH/BASELINE.md, reported
+        # alongside the contract-schema number every round
+        cfg_l = PipelineConfig(
+            sinks_path=f"{work}/sinks-lean",
+            checkpoint_path=f"{work}/ckpt-lean.jsonl",
+            parse_impl="native",
+            n_buckets=64,
+            n_salt=8,
+            codec="snappy",
+            sink_drop_cols=("msg",),
+            parquet_dictionary=False,
+        )
+        t3 = time.time()
+        TranscriptPipeline(spark, cfg_l).run(turns, run_id="bench-lean")
+        wall_lean = time.time() - t3
+        base["lean_wall_sec"] = round(wall_lean, 3)
+        base["lean_turns_per_sec"] = round(n_rows / wall_lean, 1)
         cfg_p = PipelineConfig(
             sinks_path=f"{work}/sinks2",
             checkpoint_path=f"{work}/ckpt2.jsonl",
@@ -179,6 +197,15 @@ def main() -> int:
     queries: dict[str, float] = {}
     if not args.skip_queries:
         specs = all_queries()
+        # JIT warmup: run every headline once at the smallest sf first —
+        # the first execution of a plan pays codegen/JIT compilation
+        # (measured up to 2x on the array-heavy LSH kernels); the
+        # recorded number should measure the engine, not the compiler.
+        for name in HEADLINE_QUERIES:
+            try:
+                time_query(spark, specs[name].fn, "/root/testdata/sf0.001")
+            except Exception:
+                pass  # warmup is best-effort; the measured run reports errors
         for name in HEADLINE_QUERIES:
             queries[name] = time_query(spark, specs[name].fn, args.sf_dir)
 
