@@ -177,6 +177,92 @@ FROM (
 """
 
 
+def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE session_window (merge events
+    with inter-arrival gap < 30min) — the engine primitive behind the
+    lag+cumsum idiom of user_session_stats, here producing per-SESSION
+    rows first (one groupBy on (user, session_window)), then per-user
+    session counts and total in-session dwell time. Boundary semantics:
+    a gap of exactly the window size starts a NEW session (session
+    windows are half-open [ts, ts+gap)); the SQL oracle's gaps-and-
+    islands cumsum uses >= to match."""
+    events = load_table(spark, sf_dir, "events")
+    sess = events.groupBy(
+        "user_id", F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("sw")
+    ).agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t1"),
+    )
+    dwell = ntz_micros(F.col("t1")) - ntz_micros(F.col("t0"))
+    return sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_ev").alias("n_events"),
+        F.sum(dwell).alias("dwell_us"),
+    )
+
+
+SQL_SESSION_WINDOW_STATS = f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   >= {SESSION_GAP_S} * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sid AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS s
+  FROM marked),
+sess AS (
+  SELECT user_id, s, count(*) AS n_ev,
+         epoch_us(max(ts)) - epoch_us(min(ts)) AS dwell_us
+  FROM sid GROUP BY user_id, s)
+SELECT user_id, count(*) AS n_sessions, CAST(sum(n_ev) AS BIGINT) AS n_events,
+       CAST(sum(dwell_us) AS BIGINT) AS dwell_us
+FROM sess GROUP BY user_id
+"""
+
+ROLLING_HOURS = 3
+
+
+def q_rolling_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding time-window rollup: per event_type, the trailing-3h event
+    count at each hour — a RANGE frame over event-time (the time-series
+    shape hourly_event_rollup can't express), computed over the tiny
+    hourly aggregate so the frame scan never touches raw events."""
+    events = load_table(spark, sf_dir, "events")
+    hour_us = (ntz_micros(F.col("ts")) / 3_600_000_000).cast("bigint")
+    hourly = events.groupBy(
+        "event_type", hour_us.alias("hour_idx")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rangeBetween(-(ROLLING_HOURS - 1), 0)
+    )
+    return hourly.select(
+        "event_type",
+        "hour_idx",
+        "n",
+        F.sum("n").over(w).alias("rolling_n"),
+    )
+
+
+SQL_ROLLING_EVENT_ROLLUP = f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx, count(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT event_type, hour_idx, n,
+       CAST(sum(n) OVER (PARTITION BY event_type ORDER BY hour_idx
+                         RANGE BETWEEN {ROLLING_HOURS - 1} PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS rolling_n
+FROM hourly
+"""
+
+
 def q_top3_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy(
@@ -443,4 +529,10 @@ QUERIES: dict[str, QuerySpec] = {
     "user_session_stats": QuerySpec(q_user_session_stats, SQL_USER_SESSION_STATS),
     "top3_events_per_type": QuerySpec(q_top3_events_per_type, SQL_TOP3_EVENTS_PER_TYPE),
     "hourly_event_rollup": QuerySpec(q_hourly_event_rollup, SQL_HOURLY_EVENT_ROLLUP),
+    "session_window_stats": QuerySpec(
+        q_session_window_stats, SQL_SESSION_WINDOW_STATS
+    ),
+    "rolling_event_rollup": QuerySpec(
+        q_rolling_event_rollup, SQL_ROLLING_EVENT_ROLLUP
+    ),
 }
