@@ -246,6 +246,7 @@ def minhash_lsh_pairs(
     n_perm: int = 64,
     n_bands: int = 16,
     threshold: float = 0.2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs at scale: minhash -> band -> bucket equi-join ->
     exact-Jaccard verify on the candidates only.
@@ -254,6 +255,15 @@ def minhash_lsh_pairs(
     candidate probability at jaccard ~ (1/16)^(1/4) ~ 0.5; pairs above
     `threshold` are then confirmed exactly, so precision is exact and
     recall is the only approximation (tested against the O(n^2) baseline).
+
+    Skew: LSH's hot key is the DEGENERATE BUCKET — k byte-identical docs
+    land in the same bucket in EVERY band and emit k^2/2 candidates per
+    band (a 1M-copy boilerplate page at web scale = 10^12 pairs from one
+    bucket; salting can't help because the pairs are real). Pass
+    `max_bucket_size` to drop over-full (band, bucket) groups — the
+    standard recipe: exact-dedup first (those buckets ARE exact-dup
+    clusters), so near-dup LSH only owes pairs below the cap. Default
+    None preserves full recall (and the driver oracle's semantics).
     """
     rows_per_band = n_perm // n_bands
     sig = with_hashed_shingles(docs, text_col, n).withColumn(
@@ -281,6 +291,12 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band", "bucket")
+        bands = bands.withColumn("_bsz", F.count(F.lit(1)).over(wb)).filter(
+            F.col("_bsz") <= max_bucket_size
+        ).drop("_bsz")
 
     left = bands.select(
         F.col(id_col).alias("a_id"), "band", "bucket"

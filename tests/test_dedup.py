@@ -201,3 +201,18 @@ def test_incremental_neardup_matches_self_join_restriction(spark, corpus):
         elif b % 2 == 0 and a % 2 == 1:
             want[(b, a)] = j
     assert got == want and len(got) > 0
+
+
+def test_lsh_bucket_cap_drops_degenerate_cluster(spark):
+    """A k-copy degenerate cluster emits k^2/2 candidates per band;
+    max_bucket_size excises exactly those buckets (exact-dedup owns that
+    cluster) while organic near-dup pairs survive."""
+    rows = [(i, "the exact same boilerplate page " * 10) for i in range(30)]
+    rows += [(100, "a unique doc about spark pipelines and routing stages x" * 5),
+             (101, "a unique doc about spark pipelines and routing stages y" * 5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = minhash_lsh_pairs(docs, threshold=0.3)
+    capped = minhash_lsh_pairs(docs, threshold=0.3, max_bucket_size=10)
+    assert full.filter("a_id < 100").count() == 30 * 29 // 2  # degenerate pairs
+    got = {(r.a_id, r.b_id) for r in capped.collect()}
+    assert got == {(100, 101)}  # cluster gone, organic pair kept
