@@ -23,7 +23,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from fluent_server_spark.operators.similarity import cosine, dot
+from fluent_server_spark.operators.similarity import cosine
 
 
 def _sq_dist(a: Column, b: Column) -> Column:
