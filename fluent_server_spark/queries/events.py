@@ -10,6 +10,7 @@ first-match route, per-sink aggregates, window stats.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -261,6 +262,38 @@ SELECT event_type, hour_idx, n,
                          RANGE BETWEEN {ROLLING_HOURS - 1} PRECEDING
                                AND CURRENT ROW) AS BIGINT) AS rolling_n
 FROM hourly
+"""
+
+
+def q_event_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion per event_type via a GROUPED-AGG pandas UDF —
+    the custom-UDAF surface (Arrow batch in, scalar out, partial
+    aggregation handled by the engine's grouped-map machinery). MAD =
+    median(|x - median(x)|): a rank statistic Catalyst has no builtin
+    for, and exactly the kind of metric a quality pipeline wants
+    (outlier-robust, unlike stddev). Oracled against DuckDB's native
+    mad() — both sides sort-and-midpoint in float64, so values match
+    bit-for-bit."""
+    events = load_table(spark, sf_dir, "events")
+
+    @F.pandas_udf("double")
+    def mad_udf(v: pd.Series) -> float:
+        med = v.median()
+        return float((v - med).abs().median())
+
+    # Spark disallows mixing a grouped-agg pandas UDF with native
+    # aggregates in one agg(); the count rides a separate tiny agg
+    # joined back on the (few-row) group key.
+    mad = events.groupBy("event_type").agg(
+        F.round(mad_udf("value"), 6).alias("mad_value")
+    )
+    counts = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return counts.join(mad, "event_type").select("event_type", "n", "mad_value")
+
+
+SQL_EVENT_VALUE_MAD = """
+SELECT event_type, count(*) AS n, round(mad(value), 6) AS mad_value
+FROM events GROUP BY event_type
 """
 
 
@@ -536,4 +569,5 @@ QUERIES: dict[str, QuerySpec] = {
     "rolling_event_rollup": QuerySpec(
         q_rolling_event_rollup, SQL_ROLLING_EVENT_ROLLUP
     ),
+    "event_value_mad": QuerySpec(q_event_value_mad, SQL_EVENT_VALUE_MAD),
 }
