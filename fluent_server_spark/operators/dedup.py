@@ -227,15 +227,18 @@ def minhash_signature(
 
 
 def band_bucket(sig: F.Column, band: int, rows_per_band: int) -> F.Column:
-    """Bucket key for one LSH band: md5 of the comma-joined band slice —
-    portable (DuckDB: md5(array_to_string(list_slice(...), ','))), unlike
-    Spark's engine-internal F.hash."""
-    return F.md5(
-        F.concat_ws(
-            ",",
-            *[sig[i] for i in range(band * rows_per_band, (band + 1) * rows_per_band)],
-        )
+    """Bucket key for one LSH band: 60-bit int from the md5 of the
+    comma-joined band slice — portable (DuckDB: CAST('0x' ||
+    substr(md5(array_to_string(list_slice(...), ',')), 1, 15) AS
+    BIGINT)), unlike Spark's engine-internal F.hash, and 8 bytes per
+    band row instead of a 32-char hex string: the band table is the
+    biggest thing the near-dup join shuffles (n_docs x n_bands rows), so
+    the key width is a first-order scale cost."""
+    joined = F.concat_ws(
+        ",",
+        *[sig[i] for i in range(band * rows_per_band, (band + 1) * rows_per_band)],
     )
+    return F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("bigint")
 
 
 def minhash_lsh_pairs(

@@ -188,7 +188,9 @@ sig AS (SELECT doc_id, hg,
         FROM hs),
 bands AS (
   SELECT doc_id, t.r AS band,
-         md5(array_to_string(list_slice(sig, t.r * {rpb} + 1, (t.r + 1) * {rpb}), ',')) AS bucket
+         CAST('0x' || substr(md5(array_to_string(
+           list_slice(sig, t.r * {rpb} + 1, (t.r + 1) * {rpb}), ',')), 1, 15)
+           AS BIGINT) AS bucket
   FROM sig, range({n_bands}) t(r)),
 cand AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
@@ -260,7 +262,9 @@ sig AS (SELECT doc_id, hg,
         FROM hs),
 bands AS (
   SELECT doc_id, t.r AS band,
-         md5(array_to_string(list_slice(sig, t.r * {rpb} + 1, (t.r + 1) * {rpb}), ',')) AS bucket
+         CAST('0x' || substr(md5(array_to_string(
+           list_slice(sig, t.r * {rpb} + 1, (t.r + 1) * {rpb}), ',')), 1, 15)
+           AS BIGINT) AS bucket
   FROM sig, range({n_bands}) t(r)),
 cand AS (
   SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
