@@ -165,6 +165,10 @@ def cosine_neardup_lsh(
             )
         ).alias("tb"),
     ).select(id_col, "tb.tbl", "tb.bkt")
+    # both self-join sides read `tables`; materializing the skinny
+    # (id, tbl, bkt) relation runs the n_tables x n_planes dot-product
+    # bucketing ONCE instead of twice
+    tables = tables.localCheckpoint(eager=True)
     left = tables.select(F.col(id_col).alias("a_id"), "tbl", "bkt")
     right = tables.select(F.col(id_col).alias("b_id"), "tbl", "bkt")
     cand = (
