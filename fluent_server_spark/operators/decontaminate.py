@@ -1,0 +1,71 @@
+"""Benchmark decontamination — flag training documents that share word
+n-grams with a held-out evaluation set.
+
+The standard LLM-corpus hygiene pass (per the GPT-3/PaLM appendices:
+"remove any training document sharing an N-gram with the eval set").
+Shape at 100 TB:
+
+* the eval set is SMALL (thousands of documents) — its distinct hashed
+  gram set fits in memory, so the overlap join is a **broadcast** hash
+  join: the 100 TB train side never shuffles, the whole pass is one
+  narrow scan + map-side join + one aggregation keyed on doc_id.
+* grams are the same 60-bit md5 shingle hashes as the dedup family
+  (`operators/dedup.py::hash_shingle`), so the DuckDB oracle replays the
+  identical membership test bit-for-bit.
+
+Reference analogue: none (the reference routes events, it has no corpus
+semantics) — this is part of the mandated training-data operator family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fluent_server_spark.operators.dedup import with_hashed_shingles
+
+
+def eval_gram_set(
+    eval_docs: DataFrame, text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """Distinct hashed n-grams of the eval set — the (small) probe side."""
+    return (
+        with_hashed_shingles(eval_docs, text_col, n, out="hg")
+        .select(F.explode("hg").alias("g"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Per train doc: how many of its distinct n-grams appear anywhere in
+    the eval set, and the resulting contamination flag.
+
+    Returns (id_col, n_hits, contaminated) for EVERY train doc — callers
+    filter `~contaminated` to get the clean corpus, or keep the counts
+    for an audit table. The eval gram set is broadcast: the train side
+    stays un-shuffled except the final per-doc count (keyed on id_col,
+    combine-heavy, uniform).
+    """
+    grams = with_hashed_shingles(train, text_col, n, out="hg").select(
+        id_col, F.explode("hg").alias("g")
+    )
+    hits = (
+        grams.join(F.broadcast(eval_gram_set(eval_docs, text_col, n)), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

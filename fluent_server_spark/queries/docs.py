@@ -529,6 +529,109 @@ WHERE rn = 1 AND n_tokens BETWEEN {TOKENS_MIN} AND {TOKENS_MAX}
 """
 
 
+EVAL_SALT = "evalset"
+EVAL_RATE = 0.05
+DECON_N = 5  # word-gram width (the "13-gram rule" scaled to fixture docs)
+
+
+def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: carve a deterministic ~5% eval split
+    (hash-of-doc_id membership, operators/sampling.py), then flag every
+    train doc sharing any word 5-gram with it. The eval gram set is
+    broadcast — the train side never shuffles except the final per-doc
+    count; the oracle replays the identical md5 gram membership."""
+    from fluent_server_spark.operators.decontaminate import decontaminate
+    from fluent_server_spark.operators.sampling import sample_hash
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    in_eval = sample_hash(F.col("doc_id"), EVAL_SALT) < int(EVAL_RATE * 1_000_000)
+    return decontaminate(
+        docs.filter(~in_eval), docs.filter(in_eval), n=DECON_N
+    )
+
+
+def _sql_decontaminate_docs(n: int = DECON_N) -> str:
+    eval_pred = (
+        f"CAST('0x' || substr(md5('{EVAL_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15) "
+        f"AS BIGINT) % 1000000 < {int(EVAL_RATE * 1_000_000)}"
+    )
+    return f"""
+WITH wl AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+            FROM documents),
+hs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           list_transform(range(1, greatest(len(ws) - {n - 1}, 1) + 1),
+                          i -> array_to_string(list_slice(ws, i, i + {n - 1}), ' ')),
+           s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS hg
+  FROM wl),
+ev AS (SELECT DISTINCT unnest(hg) AS g FROM hs WHERE {eval_pred}),
+tr AS (SELECT doc_id, hg FROM hs WHERE NOT ({eval_pred})),
+hits AS (
+  SELECT t.doc_id, count(*) AS n_hits
+  FROM (SELECT doc_id, unnest(hg) AS g FROM tr) t
+  JOIN ev USING (g)
+  GROUP BY t.doc_id)
+SELECT tr.doc_id,
+       coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM tr LEFT JOIN hits h USING (doc_id)
+"""
+
+
+SQL_DECONTAMINATE_DOCS = _sql_decontaminate_docs()
+
+
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per doc (top-word share,
+    duplicate-word fraction) — one explode + a two-level aggregation,
+    integer counts until the final per-row division."""
+    from fluent_server_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(spread(load_table(spark, sf_dir, "documents")))
+
+
+SQL_DOC_REPETITION_STATS = """
+WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+           FROM documents),
+pw AS (SELECT doc_id, w, count(*) AS c FROM w WHERE w <> '' GROUP BY doc_id, w)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_words,
+       count(*) AS n_distinct_words,
+       round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_word_frac,
+       round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS dup_word_frac
+FROM pw GROUP BY doc_id
+"""
+
+TFIDF_K = 3
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per doc by tf·idf (idf = ln(N/df)). Counts stay
+    integer through both shuffles; the corpus size joins in as a
+    broadcast 1-row relation, never a driver action; ties break on the
+    term string so the ranking is a total order."""
+    from fluent_server_spark.operators.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(spread(load_table(spark, sf_dir, "documents")), k=TFIDF_K)
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+           FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM w WHERE term <> '' GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_corpus FROM documents),
+s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             round(CAST(tf.tf AS DOUBLE) * ln(n.n_corpus / CAST(df.df AS DOUBLE)), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS rank
+      FROM s)
+SELECT doc_id, rank, term, tf, df, tfidf FROM r WHERE rank <= {TFIDF_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "exact_dedup_docs": QuerySpec(q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
     "clean_corpus": QuerySpec(q_clean_corpus, SQL_CLEAN_CORPUS),
@@ -546,4 +649,9 @@ QUERIES: dict[str, QuerySpec] = {
         q_simhash_neardup_pairs, SQL_SIMHASH_NEARDUP_PAIRS
     ),
     "doc_lang_id": QuerySpec(q_doc_lang_id, SQL_DOC_LANG_ID),
+    "decontaminate_docs": QuerySpec(q_decontaminate_docs, SQL_DECONTAMINATE_DOCS),
+    "doc_repetition_stats": QuerySpec(
+        q_doc_repetition_stats, SQL_DOC_REPETITION_STATS
+    ),
+    "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
 }

@@ -547,8 +547,51 @@ FROM r GROUP BY sink
 SQL_TAGGED_ROUTE_COUNTS = _sql_tagged_route_counts()
 
 
+MAX_CHUNK_TOKENS = 256
+
+
+def q_packed_training_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: each user's event stream (a conversation's
+    turns, in order) split into training chunks of ≤256 token-proxy
+    units by prefix sum — chunk = floor(tokens_before / budget). One
+    shuffle on the conversation key, a pure function of the input
+    (operators/packing.py), so the oracle reproduces identical chunks."""
+    from fluent_server_spark.operators.packing import pack_sequences
+
+    ev = load_table(spark, sf_dir, "events")
+    tokens = F.length("props") + F.length("event_type")
+    return pack_sequences(
+        ev,
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        tokens_col=tokens,
+        max_tokens=MAX_CHUNK_TOKENS,
+    )
+
+
+SQL_PACKED_TRAINING_CHUNKS = f"""
+WITH t AS (
+  SELECT user_id, ts, event_id,
+         length(props) + length(event_type) AS tok
+  FROM events),
+c AS (
+  SELECT user_id, tok,
+         CAST(floor(coalesce(sum(tok) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {MAX_CHUNK_TOKENS}) AS BIGINT) AS chunk_id
+  FROM t)
+SELECT user_id, chunk_id, count(*) AS n_rows,
+       CAST(sum(tok) AS BIGINT) AS chunk_tokens
+FROM c GROUP BY user_id, chunk_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "route_events": QuerySpec(q_route_events, SQL_ROUTE_EVENTS),
+    "packed_training_chunks": QuerySpec(
+        q_packed_training_chunks, SQL_PACKED_TRAINING_CHUNKS
+    ),
     "tagged_route_counts": QuerySpec(q_tagged_route_counts, SQL_TAGGED_ROUTE_COUNTS),
     "asof_last_error": QuerySpec(q_asof_last_error, SQL_ASOF_LAST_ERROR),
     "user_journey": QuerySpec(q_user_journey, SQL_USER_JOURNEY),

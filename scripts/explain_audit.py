@@ -98,6 +98,28 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # native session windows + trailing RANGE frame: window/agg, no joins
     "session_window_stats": (["HashAggregate"], ["Join", "CartesianProduct"]),
     "rolling_event_rollup": (["Window", "HashAggregate"], ["Join", "CartesianProduct"]),
+    # decontamination: eval gram set must BROADCAST (train side un-shuffled
+    # for the membership test); no sort-merge, no cartesian
+    "decontaminate_docs": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # packing: one window (the prefix sum) + partial/final agg, no joins
+    "packed_training_chunks": (
+        ["Window", "HashAggregate"],
+        ["Join", "CartesianProduct"],
+    ),
+    # repetition stats: explode + two-level agg, no joins at all
+    "doc_repetition_stats": (
+        ["Generate explode|Generate", "HashAggregate"],
+        ["Join", "CartesianProduct"],
+    ),
+    # tf-idf: corpus size joins as BROADCAST 1-row relation; the df join
+    # is keyed (shuffled/broadcast hash), never nested-loop over facts
+    "tfidf_top_terms": (
+        ["BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin", "Window", "HashAggregate"],
+        ["CartesianProduct"],
+    ),
 }
 
 

@@ -1,0 +1,115 @@
+"""Decontamination, sequence packing, repetition stats, TF-IDF — the
+round-2 training-data operators, pinned on planted fixtures (the driver
+additionally hash-checks each against its DuckDB oracle)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_server_spark.operators.decontaminate import decontaminate
+from fluent_server_spark.operators.packing import pack_sequences
+from fluent_server_spark.operators.textstats import repetition_stats, tfidf_top_terms
+
+_EVAL = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words -> 4 5-grams
+
+
+@pytest.fixture(scope="module")
+def train(spark):
+    rows = [
+        # 0: contains a full eval 5-gram span ("beta gamma delta epsilon zeta")
+        (0, "prefix beta gamma delta epsilon zeta suffix words here"),
+        # 1: shares words but never 5 consecutive -> clean
+        (1, "alpha beta gamma other delta epsilon zeta other eta theta"),
+        # 2: totally unrelated
+        (2, "one two three four five six seven eight nine ten"),
+        # 3: the eval text verbatim (worst case) -> all grams hit
+        (3, _EVAL),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_flags_planted_overlap(spark, train):
+    eval_docs = spark.createDataFrame([(100, _EVAL)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in decontaminate(train, eval_docs, n=5).collect()
+    }
+    assert got[0] == (1, True)  # exactly one shared 5-gram
+    assert got[1] == (0, False)
+    assert got[2] == (0, False)
+    assert got[3] == (4, True)  # all 4 eval grams
+    assert len(got) == 4  # every train doc present, zero-hit included
+
+
+def test_decontaminate_eval_side_never_flags_itself(spark, train):
+    """Train and eval are disjoint inputs by contract — a doc in both
+    roles is the caller's split bug; here we just pin that the output
+    ids are exactly the train ids."""
+    eval_docs = spark.createDataFrame([(100, _EVAL)], "doc_id long, text string")
+    out_ids = {r["doc_id"] for r in decontaminate(train, eval_docs).collect()}
+    assert out_ids == {0, 1, 2, 3}
+
+
+def test_pack_sequences_chunk_invariants(spark):
+    # one key, 10 rows of 100 tokens, budget 256 -> chunks of sizes
+    # ceil-boundary pattern: cum_before 0,100,200 -> chunk 0; 300..500 ->
+    # chunk 1 (floor(300/256)=1), 600,700 -> 2, 800..900 -> 3
+    rows = [("c1", i, 100) for i in range(10)]
+    df = spark.createDataFrame(rows, "conv string, idx int, tok int")
+    got = {
+        r["chunk_id"]: (r["n_rows"], r["chunk_tokens"])
+        for r in pack_sequences(
+            df, "conv", ["idx"], F.col("tok"), max_tokens=256
+        ).collect()
+    }
+    # chunk_id = floor(100*i / 256): i=0,1,2 -> 0; 3,4,5 -> 1; 6,7 -> 2; 8,9 -> 3
+    assert got == {0: (3, 300), 1: (3, 300), 2: (2, 200), 3: (2, 200)}
+
+
+def test_pack_sequences_keys_independent_and_total(spark):
+    rows = [("a", 0, 50), ("a", 1, 50), ("b", 0, 999), ("b", 1, 1)]
+    df = spark.createDataFrame(rows, "conv string, idx int, tok int")
+    out = pack_sequences(df, "conv", ["idx"], F.col("tok"), max_tokens=100).collect()
+    total = sum(r["chunk_tokens"] for r in out)
+    n = sum(r["n_rows"] for r in out)
+    assert (total, n) == (1100, 4)  # packing never drops or duplicates rows
+    b = {r["chunk_id"] for r in out if r["conv"] == "b"}
+    assert b == {0, 9}  # 999 tokens before row 1 -> floor(999/100) = 9
+
+
+def test_repetition_stats_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),  # 1 distinct of 4
+            (2, "a b c d"),  # all distinct
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+    assert got[1]["n_words"] == 4 and got[1]["n_distinct_words"] == 1
+    assert got[1]["top_word_frac"] == 1.0 and got[1]["dup_word_frac"] == 0.75
+    assert got[2]["top_word_frac"] == 0.25 and got[2]["dup_word_frac"] == 0.0
+
+
+def test_tfidf_ranks_rare_term_first(spark):
+    # "rare" appears once in one doc; "common" in all docs
+    df = spark.createDataFrame(
+        [
+            (1, "common common rare"),
+            (2, "common common common"),
+            (3, "common filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    top = {
+        (r["doc_id"], r["rank"]): r
+        for r in tfidf_top_terms(df, k=2).collect()
+    }
+    assert top[(1, 1)]["term"] == "rare"
+    assert top[(1, 1)]["tfidf"] == round(1.0 * math.log(3.0 / 1.0), 6)
+    # idf(common)=ln(3/3)=0 -> score 0 everywhere
+    assert top[(2, 1)]["tfidf"] == 0.0
+    assert top[(3, 1)]["term"] == "filler"
