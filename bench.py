@@ -62,6 +62,12 @@ HEADLINE_QUERIES = [
     "ann_topk_lsh",
     "ann_topk_ivf",
     "doc_lang_id",
+    "decontaminate_docs",
+    "packed_training_chunks",
+    "tfidf_top_terms",
+    "pii_scrub_stats",
+    "doc_chunk_stats",
+    "event_funnel_depth",
 ]
 
 PIPELINE_ROWS_DEFAULT = 5_000_000

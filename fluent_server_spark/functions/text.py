@@ -189,3 +189,44 @@ def simhash_udf(text: pd.Series) -> pd.Series:
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit signed columns (bit_count(xor))."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# ------------------------------------------------------------- PII scrub
+
+# Patterns restricted to syntax Java regex (Spark) and RE2 (DuckDB)
+# evaluate identically: character classes, bounded repetition, \b. No
+# lookaround, no backrefs (RE2 has neither).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+}
+
+# Order matters: ssn/phone share shapes with ipv4 digits — apply the
+# most specific first and pin the order as part of the contract.
+PII_ORDER = ("email", "ssn", "phone", "ipv4")
+
+
+def scrub_pii(col: Column) -> Column:
+    """Replace every PII match with its typed placeholder — a chain of
+    native regexp_replace (JVM, codegen): the 100 TB scrub pass is pure
+    narrow map work, no Python."""
+    out = col
+    for kind in PII_ORDER:
+        pat, repl = PII_PATTERNS[kind]
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-kind match counts (audit columns), same order contract."""
+    counts: dict[str, Column] = {}
+    scanned = col
+    for kind in PII_ORDER:
+        pat, _ = PII_PATTERNS[kind]
+        counts[f"n_{kind}"] = F.regexp_count(scanned, F.lit(pat))
+        # count on the already-scrubbed text so overlapping kinds (ssn
+        # vs phone digit shapes) are attributed once, first-match-wins
+        scanned = F.regexp_replace(scanned, pat, PII_PATTERNS[kind][1])
+    return counts

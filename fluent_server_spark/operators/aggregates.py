@@ -72,3 +72,50 @@ def top_k_per_group(
         .filter(F.col("rk") <= k)
         .drop("rk")
     )
+
+
+def funnel_depth(
+    events: DataFrame,
+    stages: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel depth per key: how many of ``stages`` the key
+    completed IN ORDER, where stage i+1 must occur strictly after the
+    key's earliest completion time of stage i (the standard product
+    funnel — view -> click -> signup -> purchase).
+
+    Shape: one keyed aggregation per stage plus a keyed join back to the
+    previous stage's time — every shuffle is on the same key, so a real
+    cluster co-partitions the whole chain (one exchange reused). Depth
+    of the funnel is a constant (a handful of stages), never data-sized.
+    """
+    reached: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for stage in stages:
+        ev_s = events.filter(F.col(type_col) == stage).select(
+            key_col, F.col(ts_col).alias("_ts")
+        )
+        if prev is None:
+            cur = ev_s.groupBy(key_col).agg(F.min("_ts").alias("_t"))
+        else:
+            cur = (
+                ev_s.join(prev, key_col)
+                .filter(F.col("_ts") > F.col("_t"))
+                .groupBy(key_col)
+                .agg(F.min("_ts").alias("_t"))
+            )
+        reached.append(cur)
+        prev = cur
+
+    out = events.select(key_col).distinct()
+    for i, cur in enumerate(reached):
+        out = out.join(
+            cur.select(key_col, F.lit(1).alias(f"_s{i}")), key_col, "left"
+        )
+    depth = F.lit(0)
+    for i in range(len(stages)):
+        # monotone by construction: stage i+1 reached implies stage i
+        depth = F.when(F.col(f"_s{i}").isNull(), depth).otherwise(F.lit(i + 1))
+    return out.select(key_col, depth.cast("int").alias("funnel_depth"))

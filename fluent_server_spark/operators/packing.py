@@ -57,3 +57,42 @@ def pack_sequences(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("_tok").alias("chunk_tokens"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_chars: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-width character chunks with optional
+    overlap — the RAG/context-window splitting step.
+
+    Chunk i covers [i*step, i*step + chunk_chars) with
+    step = chunk_chars - overlap; every chunk start < len(text) emits.
+    Entirely narrow (sequence + explode + substring in codegen): at
+    100 TB this is a map-only pass, output partitioning inherited from
+    the scan. Emits (id, chunk_idx, chunk_len, chunk_md5) — the md5
+    stands in for the chunk body in audit tables so the output stays
+    narrow; callers wanting the text substitute substring for md5.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be < chunk_chars")
+    step = chunk_chars - overlap
+    n_chunks = (F.greatest(F.length(text_col), F.lit(1)) - 1) / F.lit(step)
+    idx = F.explode(
+        F.sequence(F.lit(0), n_chunks.cast("bigint"))
+    ).alias("chunk_idx")
+    chunk = F.col(text_col).substr(
+        F.col("chunk_idx").cast("int") * step + 1, F.lit(chunk_chars)
+    )
+    return (
+        docs.select(F.col(id_col), F.col(text_col), idx)
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.length(chunk).cast("bigint").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )

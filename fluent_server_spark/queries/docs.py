@@ -632,6 +632,85 @@ SELECT doc_id, rank, term, tf, df, tfidf FROM r WHERE rank <= {TFIDF_K}
 """
 
 
+def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit: inject deterministic synthetic PII (the
+    fixture corpus has none), scrub it with the native regexp_replace
+    chain (functions/text.py::scrub_pii — narrow, codegen, no Python),
+    and emit per-doc counts by kind + the md5 of the scrubbed text. The
+    patterns are restricted to the Java-regex ∩ RE2 subset so the oracle
+    replays the identical first-match-wins scrub order."""
+    from fluent_server_spark.functions.text import pii_counts, scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1 ph 415-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn 123-45-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    counts = pii_counts(aug)
+    return docs.select(
+        "doc_id",
+        *[c.cast("bigint").alias(name) for name, c in counts.items()],
+        F.md5(scrub_pii(aug)).alias("scrub_md5"),
+    )
+
+
+def _sql_pii_scrub_stats() -> str:
+    from fluent_server_spark.functions.text import PII_ORDER, PII_PATTERNS
+
+    aug = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.0.'"
+        " || CAST(doc_id % 256 AS VARCHAR) || '.1 ph 415-555-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ssn 123-45-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    )
+    cols, scanned = [], aug
+    for kind in PII_ORDER:
+        pat, repl = PII_PATTERNS[kind]
+        cols.append(
+            f"CAST(len(regexp_extract_all({scanned}, '{pat}')) AS BIGINT) AS n_{kind}"
+        )
+        scanned = f"regexp_replace({scanned}, '{pat}', '{repl}', 'g')"
+    return f"SELECT doc_id, {', '.join(cols)}, md5({scanned}) AS scrub_md5 FROM documents"
+
+
+SQL_PII_SCRUB_STATS = _sql_pii_scrub_stats()
+
+CHUNK_CHARS, CHUNK_OVERLAP = 120, 20
+
+
+def q_doc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/context-window document chunking: fixed 120-char chunks with
+    20-char overlap — a map-only explode (operators/packing.py), output
+    kept narrow via md5-of-chunk."""
+    from fluent_server_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), CHUNK_CHARS, CHUNK_OVERLAP
+    )
+
+
+_STEP = CHUNK_CHARS - CHUNK_OVERLAP
+SQL_DOC_CHUNK_STATS = f"""
+WITH c AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(floor((greatest(length(text), 1) - 1) / {_STEP})
+                             AS BIGINT) + 1)) AS i
+  FROM documents)
+SELECT doc_id, i AS chunk_idx,
+       CAST(length(substr(text, CAST(i * {_STEP} + 1 AS INT), {CHUNK_CHARS})) AS BIGINT)
+         AS chunk_len,
+       md5(substr(text, CAST(i * {_STEP} + 1 AS INT), {CHUNK_CHARS})) AS chunk_md5
+FROM c
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "exact_dedup_docs": QuerySpec(q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
     "clean_corpus": QuerySpec(q_clean_corpus, SQL_CLEAN_CORPUS),
@@ -654,4 +733,6 @@ QUERIES: dict[str, QuerySpec] = {
         q_doc_repetition_stats, SQL_DOC_REPETITION_STATS
     ),
     "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "pii_scrub_stats": QuerySpec(q_pii_scrub_stats, SQL_PII_SCRUB_STATS),
+    "doc_chunk_stats": QuerySpec(q_doc_chunk_stats, SQL_DOC_CHUNK_STATS),
 }

@@ -587,11 +587,51 @@ FROM c GROUP BY user_id, chunk_id
 """
 
 
+FUNNEL_STAGES = ["view", "click", "signup", "purchase"]
+
+
+def q_event_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel depth per user (view -> click -> signup ->
+    purchase, each stage strictly after the earliest completion of the
+    previous). Every shuffle in the chain is keyed on user_id
+    (operators/aggregates.py::funnel_depth)."""
+    from fluent_server_spark.operators.aggregates import funnel_depth
+
+    return funnel_depth(load_table(spark, sf_dir, "events"), FUNNEL_STAGES)
+
+
+def _sql_event_funnel_depth(stages: list[str] = FUNNEL_STAGES) -> str:
+    ctes = [
+        f"s0 AS (SELECT user_id, min(ts) AS t FROM events "
+        f"WHERE event_type = '{stages[0]}' GROUP BY user_id)"
+    ]
+    for i in range(1, len(stages)):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            f"JOIN s{i - 1} p USING (user_id) "
+            f"WHERE e.event_type = '{stages[i]}' AND e.ts > p.t GROUP BY e.user_id)"
+        )
+    case = "CASE "
+    for i in range(len(stages)):
+        case += f"WHEN s{i}.user_id IS NULL THEN {i} "
+    case += f"ELSE {len(stages)} END"
+    joins = " ".join(f"LEFT JOIN s{i} USING (user_id)" for i in range(len(stages)))
+    return f"""
+WITH {', '.join(ctes)}
+SELECT k.user_id, CAST({case} AS INT) AS funnel_depth
+FROM (SELECT DISTINCT user_id FROM events) k {joins}
+"""
+
+
+SQL_EVENT_FUNNEL_DEPTH = _sql_event_funnel_depth()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "route_events": QuerySpec(q_route_events, SQL_ROUTE_EVENTS),
     "packed_training_chunks": QuerySpec(
         q_packed_training_chunks, SQL_PACKED_TRAINING_CHUNKS
     ),
+    "event_funnel_depth": QuerySpec(q_event_funnel_depth, SQL_EVENT_FUNNEL_DEPTH),
     "tagged_route_counts": QuerySpec(q_tagged_route_counts, SQL_TAGGED_ROUTE_COUNTS),
     "asof_last_error": QuerySpec(q_asof_last_error, SQL_ASOF_LAST_ERROR),
     "user_journey": QuerySpec(q_user_journey, SQL_USER_JOURNEY),

@@ -120,6 +120,21 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin", "Window", "HashAggregate"],
         ["CartesianProduct"],
     ),
+    # PII scrub: pure narrow map — no exchange at all, no Python
+    "pii_scrub_stats": (
+        ["Scan parquet"],
+        ["Exchange", "Join", "Python", "CartesianProduct"],
+    ),
+    # chunking: map-only explode — no exchange
+    "doc_chunk_stats": (
+        ["Generate"],
+        ["Exchange", "Join", "CartesianProduct"],
+    ),
+    # funnel: keyed joins/aggs only, never nested-loop
+    "event_funnel_depth": (
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 

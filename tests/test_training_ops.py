@@ -113,3 +113,98 @@ def test_tfidf_ranks_rare_term_first(spark):
     # idf(common)=ln(3/3)=0 -> score 0 everywhere
     assert top[(2, 1)]["tfidf"] == 0.0
     assert top[(3, 1)]["term"] == "filler"
+
+
+def test_scrub_pii_planted_literals(spark):
+    from fluent_server_spark.functions.text import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x.io ssn 123-45-6789 ph 415-555-0123 ip 10.0.3.1 end")],
+        "id long, text string",
+    )
+    counts = pii_counts(F.col("text"))
+    row = df.select(
+        scrub_pii(F.col("text")).alias("s"), *[c.alias(k) for k, c in counts.items()]
+    ).first()
+    assert row["s"] == "mail <EMAIL> ssn <SSN> ph <PHONE> ip <IP> end"
+    assert (row["n_email"], row["n_ssn"], row["n_phone"], row["n_ipv4"]) == (1, 1, 1, 1)
+
+
+def test_scrub_pii_ssn_not_double_counted_as_phone(spark):
+    from fluent_server_spark.functions.text import pii_counts
+
+    df = spark.createDataFrame([(1, "123-45-6789 only")], "id long, text string")
+    row = df.select(
+        *[c.alias(k) for k, c in pii_counts(F.col("text")).items()]
+    ).first()
+    assert row["n_ssn"] == 1 and row["n_phone"] == 0
+
+
+def test_chunk_documents_boundaries(spark):
+    from fluent_server_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a" * 250), (2, "b" * 100), (3, "c")], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): r["chunk_len"]
+        for r in chunk_documents(df, chunk_chars=120, overlap=20).collect()
+    }
+    # step=100: doc1 len 250 -> starts 0,100,200 -> lens 120,120,50
+    assert {k: v for k, v in got.items() if k[0] == 1} == {
+        (1, 0): 120, (1, 1): 120, (1, 2): 50
+    }
+    # doc2 len 100 -> one chunk of 100; doc3 len 1 -> one chunk of 1
+    assert got[(2, 0)] == 100 and (2, 1) not in got
+    assert got[(3, 0)] == 1
+
+
+def test_chunk_documents_overlap_covers_everything(spark):
+    from fluent_server_spark.operators.packing import chunk_documents
+
+    text = "x" * 333
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = chunk_documents(df, chunk_chars=50, overlap=10).collect()
+    step = 40
+    # last chunk start must be < len; union of [start, start+len) covers [0, 333)
+    starts = sorted(r["chunk_idx"] * step for r in rows)
+    ends = [s + r["chunk_len"] for s, r in zip(starts, sorted(rows, key=lambda r: r["chunk_idx"]))]
+    assert starts[0] == 0 and ends[-1] == 333
+    assert all(starts[i + 1] <= ends[i] for i in range(len(rows) - 1))  # no gaps
+
+
+def test_funnel_depth_order_matters(spark):
+    from fluent_server_spark.operators.aggregates import funnel_depth
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # u1 completes all 3 in order
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "buy"),
+        # u2 has click BEFORE its first view -> depth 1 (view only)
+        (2, t(5), "click"), (2, t(6), "view"),
+        # u3 never views -> depth 0
+        (3, t(1), "click"), (3, t(2), "buy"),
+        # u4 view then buy (skips click) -> depth 1
+        (4, t(1), "view"), (4, t(2), "buy"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r["user_id"]: r["funnel_depth"]
+        for r in funnel_depth(ev, ["view", "click", "buy"]).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 0, 4: 1}
+
+
+def test_funnel_depth_strictly_after(spark):
+    from fluent_server_spark.operators.aggregates import funnel_depth
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    # click at the SAME instant as view does not count (strict >)
+    ev = spark.createDataFrame(
+        [(1, t0, "view"), (1, t0, "click")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = funnel_depth(ev, ["view", "click"]).first()
+    assert got["funnel_depth"] == 1
