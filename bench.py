@@ -122,6 +122,16 @@ def run_pipeline_bench(
             parquet_dictionary=not lean,
         )
         pipe = TranscriptPipeline(spark, cfg)
+        # JIT warmup on a 4%-size slice of the same table shape: the
+        # first-ever execution of the write path pays codegen + parquet
+        # writer class loading (measured 22s -> 7s -> 5.5s across three
+        # identical runs in a fresh JVM). Without this, the base variant
+        # was billed the JIT while the lean variant (always run later,
+        # warm) looked 2x faster — an ordering artifact, not a schema
+        # effect.
+        warm_src = materialize_turns(spark, work_root, max(n_rows // 25, 1), max(n_convs // 25, 1))
+        warm = spark.read.parquet(warm_src)
+        pipe.run(warm, run_id="warmup")
         # best-of-2 (fresh run_id each time so nothing is skipped as
         # acked): single runs swing up to 3x with host steal
         wall = float("inf")
@@ -149,9 +159,12 @@ def run_pipeline_bench(
             sink_drop_cols=("msg",),
             parquet_dictionary=False,
         )
-        t3 = time.time()
-        TranscriptPipeline(spark, cfg_l).run(turns, run_id="bench-lean")
-        wall_lean = time.time() - t3
+        pipe_l = TranscriptPipeline(spark, cfg_l)
+        wall_lean = float("inf")
+        for attempt in ("bench-lean", "bench-lean2"):
+            t3 = time.time()
+            pipe_l.run(turns, run_id=attempt)
+            wall_lean = min(wall_lean, time.time() - t3)
         base["lean_wall_sec"] = round(wall_lean, 3)
         base["lean_turns_per_sec"] = round(n_rows / wall_lean, 1)
         cfg_p = PipelineConfig(
