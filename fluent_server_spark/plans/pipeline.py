@@ -56,7 +56,7 @@ class InjectedFailure(RuntimeError):
     """Raised by the fault-injection hook in resume tests."""
 
 
-def _list_partitions(write_root: str, group_id: int, cfg: "PipelineConfig") -> list[str]:
+def _list_partitions(write_root: str, group_id: int, n_groups: int) -> list[str]:
     """(sink=?/bucket=?) partition dirs a group landed under write_root —
     the manifest listing for snapshot mode."""
     out: list[str] = []
@@ -69,7 +69,7 @@ def _list_partitions(write_root: str, group_id: int, cfg: "PipelineConfig") -> l
             if not bdir.startswith("bucket="):
                 continue
             b = int(bdir.split("=", 1)[1])
-            if cfg.checkpoint_groups == 1 or b % cfg.checkpoint_groups == group_id:
+            if n_groups == 1 or b % n_groups == group_id:
                 out.append(f"{sdir}/{bdir}")
     return out
 
@@ -224,7 +224,9 @@ class TranscriptPipeline:
                 # manifest entry: the (sink, bucket) partitions this group
                 # landed — an FS-metadata listing, the same class of
                 # driver work as writing an Iceberg manifest file
-                extra["partitions"] = sorted(_list_partitions(write_root, g, cfg))
+                extra["partitions"] = sorted(
+                    _list_partitions(write_root, g, cfg.checkpoint_groups)
+                )
             self.checkpoint.commit(
                 GroupCommit(
                     run_id=run_id,
@@ -291,10 +293,23 @@ class TranscriptPipeline:
 
     def _read_snapshot(self, as_of_run: str | None) -> DataFrame:
         mapping = self.snapshot_partitions(as_of_run)
-        if not mapping:
-            return self.spark.createDataFrame([], SINK_SCHEMA)
         root = self.config.sinks_path
-        paths = [f"{root}/run_id={r}/{p}" for p, r in sorted(mapping.items())]
+        paths = []
+        for p, r in sorted(mapping.items()):
+            run_dir = f"{root}/run_id={r}"
+            if not os.path.isdir(run_dir):
+                # the whole run was vacuumed: time travel to it is gone
+                # (exactly Iceberg's expire-snapshots contract)
+                raise FileNotFoundError(
+                    f"snapshot references expired run {r!r} (vacuumed)"
+                )
+            # a run dir that exists but lacks this partition subdir is a
+            # rewrite (merge/delete) that EMPTIED the partition: the
+            # manifest remaps it with no files — zero rows, not an error
+            if os.path.isdir(f"{run_dir}/{p}"):
+                paths.append(f"{run_dir}/{p}")
+        if not paths:
+            return self.spark.createDataFrame([], SINK_SCHEMA)
         df = self.spark.read.option("basePath", root).parquet(*paths)
         return df.drop("run_id")
 
@@ -315,6 +330,140 @@ class TranscriptPipeline:
                 shutil.rmtree(os.path.join(root, d))
                 removed.append(d.split("=", 1)[1])
         return removed
+
+    # ------------------------------------------------- row-level mutation
+    def merge_upsert(self, turns: DataFrame, run_id: str | None = None) -> str:
+        """MERGE INTO analogue over the snapshot layout (copy-on-write,
+        partition-scoped) — the Iceberg `MERGE ... WHEN MATCHED UPDATE
+        WHEN NOT MATCHED INSERT` the sandbox can't load jars for.
+
+        Corrected/late turns run through the SAME transform as ingest
+        (so routing may move a row to a different sink), then only the
+        (sink, bucket) partitions holding a matched key's old OR new
+        location are rewritten: current rows anti-joined on
+        (conv_id, turn_idx), unioned with the new rows, written under a
+        fresh run_id dir and committed to the manifest. Untouched
+        partitions keep their old run mapping; time travel to any
+        pre-merge run still resolves byte-identically (runs never delete
+        one another's files).
+
+        Scale shape: the affected-partition set is bounded by
+        n_sinks x n_buckets (a constant, broadcast); the rewrite reads
+        only those partitions — exactly Iceberg's copy-on-write MERGE
+        cost model. All data joins are keyed equi-joins.
+        """
+        cfg = self.config
+        if not cfg.snapshots:
+            raise ValueError(
+                "merge_upsert requires PipelineConfig(snapshots=True): the "
+                "in-place layout cannot rewrite partitions atomically"
+            )
+        run_id = run_id or uuid.uuid4().hex[:12]
+        new_rows = self.transform(turns)
+        if cfg.sink_drop_cols:
+            new_rows = new_rows.drop(*cfg.sink_drop_cols)
+        cur = self.read_sinks()
+        keys = new_rows.select("conv_id", "turn_idx").distinct()
+        old_parts = (
+            cur.join(keys, ["conv_id", "turn_idx"], "left_semi")
+            .select("sink", "bucket")
+            .distinct()
+        )
+        new_parts = new_rows.select("sink", "bucket").distinct()
+        # Collect the affected-partition set (bounded by n_sinks x
+        # n_buckets — manifest-planning driver work, the same class as
+        # Iceberg's scan planning, never data-sized).
+        parts = self._collect_parts(old_parts.unionByName(new_parts).distinct())
+        survivors = cur.join(
+            F.broadcast(self._parts_df(parts)), ["sink", "bucket"], "left_semi"
+        ).join(keys, ["conv_id", "turn_idx"], "left_anti")
+        merged = survivors.unionByName(new_rows.select(*survivors.columns))
+        return self._commit_rewrite(merged, run_id, parts)
+
+    def delete_where(self, predicate, run_id: str | None = None) -> str:
+        """DELETE FROM analogue: copy-on-write rewrite of exactly the
+        partitions holding matching rows, with the matches dropped. NULL
+        predicate results keep the row (SQL DELETE semantics)."""
+        cfg = self.config
+        if not cfg.snapshots:
+            raise ValueError("delete_where requires PipelineConfig(snapshots=True)")
+        run_id = run_id or uuid.uuid4().hex[:12]
+        cur = self.read_sinks()
+        hit = F.coalesce(predicate, F.lit(False))
+        parts = self._collect_parts(cur.filter(hit).select("sink", "bucket").distinct())
+        survivors = cur.join(
+            F.broadcast(self._parts_df(parts)), ["sink", "bucket"], "left_semi"
+        ).filter(~hit)
+        return self._commit_rewrite(survivors, run_id, parts)
+
+    def _collect_parts(self, parts: DataFrame) -> list[tuple[str, int]]:
+        return sorted((r["sink"], r["bucket"]) for r in parts.collect())
+
+    def _parts_df(self, parts: list[tuple[str, int]]) -> DataFrame:
+        return self.spark.createDataFrame(parts or [], "sink string, bucket int")
+
+    def _commit_rewrite(
+        self, rows: DataFrame, run_id: str, affected: list[tuple[str, int]]
+    ) -> str:
+        """Write a partition-scoped rewrite under a fresh run dir and
+        commit its manifest entry (single group — a mutation is one
+        atomic snapshot transition, unlike chunked ingest).
+
+        The manifest records EVERY affected partition, including ones the
+        rewrite emptied (no dir written) — otherwise an emptied partition
+        would keep resolving to its old run and deleted rows would
+        resurrect. `_read_snapshot` skips manifest entries with no files.
+        """
+        cfg = self.config
+        started = CheckpointLog.now()
+        obs = Observation(f"rewrite-{run_id}")
+        metric_cols = [F.count(F.lit(1)).alias("n_rows")] + [
+            F.sum(F.when(F.col("sink") == s, 1).otherwise(0)).alias(f"s_{s}")
+            for s in ALL_SINKS
+        ]
+        rows = rows.observe(obs, *metric_cols)
+        n_write = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        rows = rows.repartition(n_write, F.col("sink"), F.col("bucket"))
+        write_root = f"{cfg.sinks_path}/run_id={run_id}"
+        (
+            rows.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("compression", cfg.codec)
+            .option(
+                "parquet.enable.dictionary",
+                "true" if cfg.parquet_dictionary else "false",
+            )
+            .partitionBy("sink", "bucket")
+            .parquet(write_root)
+        )
+        # the run dir must exist even for an all-empty rewrite: reads
+        # distinguish "emptied partition" (run dir present, subdir absent)
+        # from "expired run" (dir gone)
+        os.makedirs(write_root, exist_ok=True)
+        try:
+            m = dict(obs.get.asDict())
+        except Exception:
+            # a rewrite that keeps zero rows runs zero tasks (AQE empty-
+            # relation propagation) and the observation never fires
+            m = {}
+        self.checkpoint.commit(
+            GroupCommit(
+                run_id=run_id,
+                group_id=0,
+                n_groups=1,
+                n_rows=int(m.get("n_rows") or 0),
+                sink_counts={s: int(m.get(f"s_{s}") or 0) for s in ALL_SINKS},
+                started_at=started,
+                finished_at=CheckpointLog.now(),
+                extra={
+                    "partitions": sorted(
+                        set(_list_partitions(write_root, 0, 1))
+                        | {f"sink={s}/bucket={b}" for s, b in affected}
+                    )
+                },
+            )
+        )
+        return run_id
 
     def aggregates(self) -> dict[str, DataFrame]:
         """The mirror-JSON analogue: aggregate tables over written sinks."""
