@@ -68,6 +68,8 @@ HEADLINE_QUERIES = [
     "pii_scrub_stats",
     "doc_chunk_stats",
     "event_funnel_depth",
+    "event_cube_stats",
+    "user_value_deciles",
 ]
 
 PIPELINE_ROWS_DEFAULT = 5_000_000

@@ -396,6 +396,29 @@ class TranscriptPipeline:
         ).filter(~hit)
         return self._commit_rewrite(survivors, run_id, parts)
 
+    def compact_snapshots(self, run_id: str | None = None) -> str:
+        """`rewrite_data_files` analogue: rewrite the CURRENT snapshot
+        into one fresh run so every live partition is owned by a single
+        run dir (one file per (sink, bucket)). After N ingests and M
+        merges the live snapshot scatters across N+M run dirs;
+        compact + vacuum_snapshots() reclaims all of them. Data is
+        byte-equal before and after; time travel to pre-compaction runs
+        keeps working until vacuumed."""
+        cfg = self.config
+        if not cfg.snapshots:
+            raise ValueError("compact_snapshots requires PipelineConfig(snapshots=True)")
+        run_id = run_id or uuid.uuid4().hex[:12]
+        cur = self.read_sinks()
+        # claim EVERY manifest partition, including ones a prior delete
+        # emptied — otherwise they stay mapped to the old run and keep it
+        # un-vacuumable forever
+        parts = sorted(
+            (sdir.split("=", 1)[1], int(bdir.split("=", 1)[1]))
+            for p in self.snapshot_partitions()
+            for sdir, bdir in [p.split("/", 1)]
+        )
+        return self._commit_rewrite(cur, run_id, parts)
+
     def _collect_parts(self, parts: DataFrame) -> list[tuple[str, int]]:
         return sorted((r["sink"], r["bucket"]) for r in parts.collect())
 

@@ -626,8 +626,73 @@ FROM (SELECT DISTINCT user_id FROM events) k {joins}
 SQL_EVENT_FUNNEL_DEPTH = _sql_event_funnel_depth()
 
 
+def q_event_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets over (event_type, hour-of-day): all four
+    grouping combinations in one pass — partial+final hash aggregation,
+    the grouping expansion is map-side."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "hod", F.hour("ts").cast("string")
+    )
+    return (
+        ev.cube("event_type", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("hod", F.lit("ALL")).alias("hod"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SQL_EVENT_CUBE_STATS = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(CAST(hour(ts) AS VARCHAR), 'ALL') AS hod,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY CUBE (event_type, CAST(hour(ts) AS VARCHAR))
+"""
+
+
+N_DECILES = 10
+
+
+def q_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User segmentation: ntile deciles by total event value (ties broken
+    on user_id so the tiling is a total order), then per-decile size and
+    value mass — the cohort/LTV-banding shape."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.round(F.sum("value"), 2).alias("total_value")
+    )
+    w = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
+    return (
+        per_user.withColumn("decile", F.ntile(N_DECILES).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.sum("total_value"), 2).alias("decile_value"),
+        )
+    )
+
+
+SQL_USER_VALUE_DECILES = f"""
+WITH pu AS (SELECT user_id, round(sum(value), 2) AS total_value
+            FROM events GROUP BY user_id),
+d AS (SELECT ntile({N_DECILES}) OVER (ORDER BY total_value DESC, user_id ASC) AS decile,
+             total_value
+      FROM pu)
+SELECT decile, count(*) AS n_users, round(sum(total_value), 2) AS decile_value
+FROM d GROUP BY decile
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "route_events": QuerySpec(q_route_events, SQL_ROUTE_EVENTS),
+    "event_cube_stats": QuerySpec(q_event_cube_stats, SQL_EVENT_CUBE_STATS),
+    "user_value_deciles": QuerySpec(q_user_value_deciles, SQL_USER_VALUE_DECILES),
     "packed_training_chunks": QuerySpec(
         q_packed_training_chunks, SQL_PACKED_TRAINING_CHUNKS
     ),

@@ -135,6 +135,16 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # CUBE: one Expand + partial/final agg, no joins
+    "event_cube_stats": (
+        ["Expand", "HashAggregate"],
+        ["Join", "CartesianProduct"],
+    ),
+    # deciles: agg -> global ntile over the (small) per-user aggregate -> agg
+    "user_value_deciles": (
+        ["Window", "HashAggregate"],
+        ["Join", "CartesianProduct"],
+    ),
 }
 
 

@@ -119,3 +119,34 @@ def test_mutations_require_snapshots(spark, pipe, tmp_path, turns_pdf):
         flat.merge_upsert(spark.createDataFrame(turns_pdf.iloc[:1]))
     with pytest.raises(ValueError, match="snapshots"):
         flat.delete_where(F.lit(True))
+
+
+def test_compact_consolidates_live_snapshot(spark, pipe, turns_pdf):
+    victim = turns_pdf.iloc[0]
+    updates = spark.createDataFrame(
+        [(victim.conv_id, int(victim.turn_idx), victim.role,
+          'level=INFO component=c msg="v2" dur_ms=1 tokens=2',
+          victim.tool, victim.ts.to_pydatetime())],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp_ntz",
+    )
+    pipe.merge_upsert(updates, run_id="m1")
+    before = (
+        pipe.read_sinks().toPandas().sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(set(pipe.snapshot_partitions().values())) == 2  # base + m1
+    pipe.compact_snapshots(run_id="compact1")
+    assert set(pipe.snapshot_partitions().values()) == {"compact1"}
+    after = (
+        pipe.read_sinks().toPandas().sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+    pd.testing.assert_frame_equal(before, after, check_like=True)
+    removed = pipe.vacuum_snapshots()
+    assert set(removed) == {"base", "m1"}  # everything pre-compaction reclaimed
+    after2 = (
+        pipe.read_sinks().toPandas().sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(before, after2, check_like=True)
