@@ -164,3 +164,72 @@ def test_route_compiler_matches_python_oracle(spark, rules, rows):
         assert got[i] == _py_route(rules, role, tool, level, ok), (
             rules, rows[i],
         )
+
+
+# ---------------------------------------------------- packing / chunking
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(1, 500)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(16, 300),
+)
+def test_pack_sequences_matches_python_prefix_sum(spark, rows, budget):
+    """Spark packing == the sequential per-key prefix-sum oracle, for any
+    token distribution and budget: totals conserved, chunk ids identical."""
+    from collections import defaultdict
+
+    from fluent_server_spark.operators.packing import pack_sequences
+    from pyspark.sql import functions as F
+
+    data = [(k, i, t) for i, (k, t) in enumerate(rows)]
+    df = spark.createDataFrame(data, "conv string, idx int, tok int")
+    got = {
+        (r["conv"], r["chunk_id"]): (r["n_rows"], r["chunk_tokens"])
+        for r in pack_sequences(df, "conv", ["idx"], F.col("tok"), budget).collect()
+    }
+    want = defaultdict(lambda: [0, 0])
+    cum = defaultdict(int)
+    for k, i, t in sorted(data, key=lambda x: (x[0], x[1])):
+        chunk = cum[k] // budget
+        want[(k, chunk)][0] += 1
+        want[(k, chunk)][1] += t
+        cum[k] += t
+    assert got == {k: tuple(v) for k, v in want.items()}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.text(alphabet="xyz ", min_size=1, max_size=400),
+    st.integers(2, 60),
+    st.integers(0, 30),
+)
+def test_chunk_documents_tiles_exactly(spark, text, chunk_chars, overlap):
+    """Chunks tile the document: first starts at 0, consecutive starts
+    differ by step, adjacent chunks overlap by exactly `overlap` (or reach
+    the end), and concatenating de-overlapped chunks rebuilds the text."""
+    import hashlib
+
+    from fluent_server_spark.operators.packing import chunk_documents
+
+    overlap = min(overlap, chunk_chars - 1)
+    step = chunk_chars - overlap
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_chars, overlap).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    n = len(text)
+    assert [r["chunk_idx"] for r in rows] == list(range((n - 1) // step + 1))
+    rebuilt = ""
+    for r in rows:
+        start = r["chunk_idx"] * step
+        piece = text[start : start + chunk_chars]
+        assert r["chunk_len"] == len(piece)
+        assert r["chunk_md5"] == hashlib.md5(piece.encode()).hexdigest()
+        rebuilt = rebuilt[:start] + piece
+    assert rebuilt == text
