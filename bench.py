@@ -70,6 +70,7 @@ HEADLINE_QUERIES = [
     "event_funnel_depth",
     "event_cube_stats",
     "user_value_deciles",
+    "event_window_stats",
 ]
 
 PIPELINE_ROWS_DEFAULT = 5_000_000

@@ -689,8 +689,55 @@ FROM d GROUP BY decile
 """
 
 
+N_WINDOWS, WINDOW_STRIDE_H, WINDOW_LEN_H = 60, 5, 7  # overlapping by 2h
+
+
+def q_event_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: per overlapping 7h window (stride 5h — an
+    event can match two windows), the count and value mass of events
+    inside it. A raw ts>=start AND ts<end join would plan as
+    BroadcastNestedLoopJoin (O(n·m)); operators/rangejoin.py turns it
+    into a bucket equi-join with a residual filter — the plan audit pins
+    BroadcastHashJoin and forbids the nested loop."""
+    from fluent_server_spark.operators.rangejoin import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    t0 = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    windows = spark.range(N_WINDOWS).select(
+        F.col("id").cast("int").alias("w_id"),
+        F.timestamp_add("HOUR", (F.col("id") * WINDOW_STRIDE_H).cast("int"), t0).alias(
+            "w_start"
+        ),
+        F.timestamp_add(
+            "HOUR", (F.col("id") * WINDOW_STRIDE_H + WINDOW_LEN_H).cast("int"), t0
+        ).alias("w_end"),
+    )
+    return (
+        interval_join(ev, windows, "ts", "w_start", "w_end")
+        .groupBy("w_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENT_WINDOW_STATS = f"""
+WITH w AS (
+  SELECT CAST(r AS INT) AS w_id,
+         TIMESTAMP '2024-01-01 00:00:00' + r * INTERVAL {WINDOW_STRIDE_H} HOUR AS s,
+         TIMESTAMP '2024-01-01 00:00:00' + r * INTERVAL {WINDOW_STRIDE_H} HOUR
+           + INTERVAL {WINDOW_LEN_H} HOUR AS e
+  FROM range({N_WINDOWS}) t(r))
+SELECT w_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM w JOIN events ON ts >= s AND ts < e
+GROUP BY w_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "route_events": QuerySpec(q_route_events, SQL_ROUTE_EVENTS),
+    "event_window_stats": QuerySpec(q_event_window_stats, SQL_EVENT_WINDOW_STATS),
     "event_cube_stats": QuerySpec(q_event_cube_stats, SQL_EVENT_CUBE_STATS),
     "user_value_deciles": QuerySpec(q_user_value_deciles, SQL_USER_VALUE_DECILES),
     "packed_training_chunks": QuerySpec(

@@ -140,6 +140,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Expand", "HashAggregate"],
         ["Join", "CartesianProduct"],
     ),
+    # interval join: bucket EQUI-join, never the nested loop Spark plans
+    # for a raw inequality join
+    "event_window_stats": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
     # deciles: agg -> global ntile over the (small) per-user aggregate -> agg
     "user_value_deciles": (
         ["Window", "HashAggregate"],

@@ -115,3 +115,55 @@ def test_explode_bounded_by_left_bucket_span(spark):
     lb = left.withColumn("_b", F.window(F.col("ts"), "1 hour")["start"])
     rb = forward_filled_versions(lb, right, "ts", "conv_id", ("version",), "1 hour")
     assert rb.count() <= 3  # left spans 3 hourly buckets
+
+
+# ------------------------------------------------------- interval join
+
+
+def test_interval_join_matches_naive_inequality_join(spark):
+    """Bucketed interval join == the naive cross-join + filter, including
+    overlapping windows, boundary timestamps, and unmatched rows."""
+    import datetime as dt
+
+    from fluent_server_spark.operators.rangejoin import interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    facts = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(minutes=37 * i)) for i in range(200)],
+        "fact_id long, ts timestamp_ntz",
+    )
+    ivs = spark.createDataFrame(
+        [
+            # overlapping pair
+            (0, t0 + dt.timedelta(hours=1), t0 + dt.timedelta(hours=4)),
+            (1, t0 + dt.timedelta(hours=3), t0 + dt.timedelta(hours=6)),
+            # zero-match window far in the future
+            (2, t0 + dt.timedelta(days=400), t0 + dt.timedelta(days=401)),
+            # window whose end is exactly on a bucket boundary
+            (3, t0 + dt.timedelta(hours=10), t0 + dt.timedelta(hours=12)),
+        ],
+        "w_id int, s timestamp_ntz, e timestamp_ntz",
+    )
+    got = sorted(
+        (r["fact_id"], r["w_id"])
+        for r in interval_join(facts, ivs, "ts", "s", "e").collect()
+    )
+    from pyspark.sql import functions as F
+
+    want = sorted(
+        (r["fact_id"], r["w_id"])
+        for r in facts.crossJoin(ivs)
+        .filter((F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e")))
+        .collect()
+    )
+    assert got == want and len(got) > 0
+    # boundary semantics: ts == start matches, ts == end does not
+    b = spark.createDataFrame(
+        [(100, t0 + dt.timedelta(hours=1)), (101, t0 + dt.timedelta(hours=4))],
+        "fact_id long, ts timestamp_ntz",
+    )
+    hit = {
+        r["fact_id"]
+        for r in interval_join(b, ivs.filter("w_id = 0"), "ts", "s", "e").collect()
+    }
+    assert hit == {100}
