@@ -71,6 +71,8 @@ HEADLINE_QUERIES = [
     "event_cube_stats",
     "user_value_deciles",
     "event_window_stats",
+    "event_props_stats",
+    "fuzzy_neardup_pairs",
 ]
 
 PIPELINE_ROWS_DEFAULT = 5_000_000

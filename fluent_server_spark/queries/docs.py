@@ -711,6 +711,50 @@ FROM c
 """
 
 
+FUZZY_BLOCK_CHARS = 12
+FUZZY_CMP_CHARS = 80
+FUZZY_MAX_DIST = 20
+
+
+def q_fuzzy_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs with BLOCKING: candidate pairs share
+    the first 12 normalized chars (an equi-join on the block key — never
+    all-pairs), verified by levenshtein on an 80-char prefix. The
+    standard cheap fuzzy-match recipe where quadratic cost is confined
+    inside blocks; both engines implement the identical classic DP
+    distance, so the oracle replays it exactly."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    norm = F.lower(F.trim(F.col("text")))
+    d = docs.select(
+        "doc_id",
+        F.substring(norm, 1, FUZZY_BLOCK_CHARS).alias("blk"),
+        F.substring(norm, 1, FUZZY_CMP_CHARS).alias("head"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.levenshtein("a.head", "b.head").alias("dist"),
+        )
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+    )
+
+
+SQL_FUZZY_NEARDUP_PAIRS = f"""
+WITH d AS (
+  SELECT doc_id,
+         substr(lower(trim(text)), 1, {FUZZY_BLOCK_CHARS}) AS blk,
+         substr(lower(trim(text)), 1, {FUZZY_CMP_CHARS}) AS head
+  FROM documents)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(levenshtein(a.head, b.head) AS INT) AS dist
+FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.head, b.head) <= {FUZZY_MAX_DIST}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "exact_dedup_docs": QuerySpec(q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
     "clean_corpus": QuerySpec(q_clean_corpus, SQL_CLEAN_CORPUS),
@@ -735,4 +779,5 @@ QUERIES: dict[str, QuerySpec] = {
     "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "pii_scrub_stats": QuerySpec(q_pii_scrub_stats, SQL_PII_SCRUB_STATS),
     "doc_chunk_stats": QuerySpec(q_doc_chunk_stats, SQL_DOC_CHUNK_STATS),
+    "fuzzy_neardup_pairs": QuerySpec(q_fuzzy_neardup_pairs, SQL_FUZZY_NEARDUP_PAIRS),
 }

@@ -735,9 +735,36 @@ GROUP BY w_id
 """
 
 
+def q_event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull `k` out of the props JSON column
+    (the reference's schemaless record map, message/entry.go:30-33, as a
+    typed column) and aggregate — JSON path evaluation is native Catalyst
+    (get_json_object), narrow, codegen."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.countDistinct("k").alias("n_distinct_k"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+    )
+
+
+SQL_EVENT_PROPS_STATS = """
+SELECT event_type, count(*) AS n,
+       min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+       count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS n_distinct_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "route_events": QuerySpec(q_route_events, SQL_ROUTE_EVENTS),
     "event_window_stats": QuerySpec(q_event_window_stats, SQL_EVENT_WINDOW_STATS),
+    "event_props_stats": QuerySpec(q_event_props_stats, SQL_EVENT_PROPS_STATS),
     "event_cube_stats": QuerySpec(q_event_cube_stats, SQL_EVENT_CUBE_STATS),
     "user_value_deciles": QuerySpec(q_user_value_deciles, SQL_USER_VALUE_DECILES),
     "packed_training_chunks": QuerySpec(

@@ -146,6 +146,17 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "HashAggregate"],
         ["BroadcastNestedLoopJoin", "CartesianProduct"],
     ),
+    # JSON props extraction: narrow scan + agg, no Python, no joins
+    "event_props_stats": (
+        ["HashAggregate"],
+        ["Join", "Python", "CartesianProduct"],
+    ),
+    # blocked fuzzy match: the block key makes it an EQUI-join — the
+    # quadratic levenshtein is confined inside blocks
+    "fuzzy_neardup_pairs": (
+        ["ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     # deciles: agg -> global ntile over the (small) per-user aggregate -> agg
     "user_value_deciles": (
         ["Window", "HashAggregate"],
