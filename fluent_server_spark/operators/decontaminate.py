@@ -9,9 +9,13 @@ Shape at 100 TB:
   gram set fits in memory, so the overlap join is a **broadcast** hash
   join: the 100 TB train side never shuffles, the whole pass is one
   narrow scan + map-side join + one aggregation keyed on doc_id.
-* grams are the same 60-bit md5 shingle hashes as the dedup family
-  (`operators/dedup.py::hash_shingle`), so the DuckDB oracle replays the
-  identical membership test bit-for-bit.
+* grams stay RAW STRINGS: hashing would cost one md5 per train gram
+  (the dominant CPU at 100 TB — measured 2x of this operator's wall at
+  sf0.1) and buys nothing, since the broadcast side is bounded by the
+  eval set either way and string equality replays exactly in the DuckDB
+  oracle. The dedup family hashes its shingles because they flow through
+  SHUFFLES (key width matters there); this join's build side is a
+  broadcast, so width is a one-time driver cost.
 
 Reference analogue: none (the reference routes events, it has no corpus
 semantics) — this is part of the mandated training-data operator family.
@@ -22,15 +26,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from fluent_server_spark.operators.dedup import with_hashed_shingles
+from fluent_server_spark.operators.dedup import with_shingles
 
 
 def eval_gram_set(
     eval_docs: DataFrame, text_col: str = "text", n: int = 5
 ) -> DataFrame:
-    """Distinct hashed n-grams of the eval set — the (small) probe side."""
+    """Distinct n-grams of the eval set — the (small) broadcast side."""
     return (
-        with_hashed_shingles(eval_docs, text_col, n, out="hg")
+        with_shingles(eval_docs, text_col, n, out="hg")
         .select(F.explode("hg").alias("g"))
         .distinct()
     )
@@ -52,7 +56,7 @@ def decontaminate(
     stays un-shuffled except the final per-doc count (keyed on id_col,
     combine-heavy, uniform).
     """
-    grams = with_hashed_shingles(train, text_col, n, out="hg").select(
+    grams = with_shingles(train, text_col, n, out="hg").select(
         id_col, F.explode("hg").alias("g")
     )
     hits = (

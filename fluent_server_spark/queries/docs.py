@@ -561,9 +561,8 @@ WITH wl AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
 hs AS (
   SELECT doc_id,
          list_distinct(list_transform(
-           list_transform(range(1, greatest(len(ws) - {n - 1}, 1) + 1),
-                          i -> array_to_string(list_slice(ws, i, i + {n - 1}), ' ')),
-           s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS hg
+           range(1, greatest(len(ws) - {n - 1}, 1) + 1),
+           i -> array_to_string(list_slice(ws, i, i + {n - 1}), ' '))) AS hg
   FROM wl),
 ev AS (SELECT DISTINCT unnest(hg) AS g FROM hs WHERE {eval_pred}),
 tr AS (SELECT doc_id, hg FROM hs WHERE NOT ({eval_pred})),
