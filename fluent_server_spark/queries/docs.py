@@ -710,6 +710,46 @@ FROM c
 """
 
 
+SPLIT_SALT = "splits"
+SPLIT_BOUNDS = (("train", 0, 800_000), ("val", 800_000, 900_000), ("test", 900_000, 1_000_000))
+
+
+def q_corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split manifest: disjoint, exhaustive ranges of ONE
+    hash-of-key (operators/sampling.py::sample_hash) — every doc lands in
+    exactly one split, forever, on any engine; per (split, source)
+    counts form the audit table a training run pins its data lineage to."""
+    from fluent_server_spark.operators.sampling import sample_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = sample_hash(F.col("doc_id"), SPLIT_SALT)
+    split = F.when(h < SPLIT_BOUNDS[0][2], SPLIT_BOUNDS[0][0])
+    for name, lo, hi in SPLIT_BOUNDS[1:]:
+        split = split.when((h >= lo) & (h < hi), name)
+    return docs.withColumn("split", split).groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def _sql_corpus_splits() -> str:
+    h = (
+        f"CAST('0x' || substr(md5('{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15) "
+        f"AS BIGINT) % 1000000"
+    )
+    whens = " ".join(
+        f"WHEN {h} >= {lo} AND {h} < {hi} THEN '{name}'"
+        for name, lo, hi in SPLIT_BOUNDS
+    )
+    return f"""
+SELECT CASE {whens} END AS split, source,
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1, source
+"""
+
+
+SQL_CORPUS_SPLITS = _sql_corpus_splits()
+
 FUZZY_BLOCK_CHARS = 12
 FUZZY_CMP_CHARS = 80
 FUZZY_MAX_DIST = 20
@@ -779,4 +819,5 @@ QUERIES: dict[str, QuerySpec] = {
     "pii_scrub_stats": QuerySpec(q_pii_scrub_stats, SQL_PII_SCRUB_STATS),
     "doc_chunk_stats": QuerySpec(q_doc_chunk_stats, SQL_DOC_CHUNK_STATS),
     "fuzzy_neardup_pairs": QuerySpec(q_fuzzy_neardup_pairs, SQL_FUZZY_NEARDUP_PAIRS),
+    "corpus_splits": QuerySpec(q_corpus_splits, SQL_CORPUS_SPLITS),
 }

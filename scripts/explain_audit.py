@@ -157,6 +157,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # split manifest: a CASE over one hash + agg, no joins
+    "corpus_splits": (
+        ["HashAggregate"],
+        ["Join", "Python", "CartesianProduct"],
+    ),
     # deciles: agg -> global ntile over the (small) per-user aggregate -> agg
     "user_value_deciles": (
         ["Window", "HashAggregate"],
