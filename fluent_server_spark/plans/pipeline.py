@@ -272,6 +272,30 @@ class TranscriptPipeline:
                 df = self.spark.createDataFrame([], SINK_SCHEMA)
         return df.filter(F.col("sink") == sink) if sink else df
 
+    def read_appended(self, as_of_run: str | None = None) -> DataFrame:
+        """APPEND-table read: the union of every committed run's files in
+        commit order — the semantics of streaming ingest, where each run
+        (micro-batch epoch) is an immutable INCREMENT rather than a
+        reprocess-everything batch (which is what `read_sinks`'s
+        latest-wins manifest resolution models). `as_of_run` pins the
+        table as of that run's commit — per-epoch time travel."""
+        if not self.config.snapshots:
+            raise ValueError("read_appended requires PipelineConfig(snapshots=True)")
+        runs = list(
+            dict.fromkeys(r.run_id for r in self.checkpoint.all_committed())
+        )
+        if as_of_run is not None:
+            if as_of_run not in runs:
+                raise ValueError(f"no committed run {as_of_run!r}")
+            runs = runs[: runs.index(as_of_run) + 1]
+        root = self.config.sinks_path
+        paths = [p for r in runs if os.path.isdir(p := f"{root}/run_id={r}")]
+        if not paths:
+            return self.spark.createDataFrame([], SINK_SCHEMA)
+        return (
+            self.spark.read.option("basePath", root).parquet(*paths).drop("run_id")
+        )
+
     def snapshot_partitions(self, as_of_run: str | None = None) -> dict[str, str]:
         """Manifest resolution: partition dir -> owning run_id, replaying
         commit records in log order (the Iceberg snapshot-lineage walk).

@@ -148,3 +148,44 @@ def run_stream_once(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {queryName}")
+
+
+def stream_into_snapshots(
+    spark: SparkSession,
+    source_dir: str,
+    pipeline,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 4,
+):
+    """Streaming ingest INTO the snapshot table: every micro-batch runs
+    the full batch pipeline (parse -> enrich -> route -> partitioned
+    write + manifest commit) as its own run, run_id = the epoch id.
+
+    Exactly-once end-to-end: Structured Streaming's checkpoint replays a
+    failed epoch with the SAME epoch id, and the batch writer skips
+    groups already acked under that run_id — the replay is a no-op, not
+    a duplicate. Read the table with `pipeline.read_appended()` (each
+    epoch is an immutable increment; `as_of_run="epoch-..."` gives
+    per-epoch time travel).
+
+    Returns the started StreamingQuery (caller stops it).
+    """
+    if not pipeline.config.snapshots:
+        raise ValueError(
+            "stream_into_snapshots requires PipelineConfig(snapshots=True): "
+            "appended epochs need run-scoped dirs"
+        )
+    stream = (
+        spark.readStream.schema(TURNS_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        pipeline.run(batch_df, run_id=f"epoch-{epoch_id:06d}")
+
+    return (
+        stream.writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -134,3 +134,70 @@ def test_stream_spool_tail_matches_batch(spark, tmp_path):
 
     assert len(got) == 24
     pd.testing.assert_frame_equal(got, batch)
+
+
+def test_stream_into_snapshots_appends_epochs(spark, turns_pdf, tmp_path):
+    """Streaming ingest commits one snapshot run per micro-batch epoch;
+    read_appended unions epochs (append semantics) with per-epoch time
+    travel, and restarting the stream processes only NEW files."""
+    from fluent_server_spark.plans.pipeline import PipelineConfig, TranscriptPipeline
+    from fluent_server_spark.streaming.stream_pipeline import stream_into_snapshots
+
+    import glob as _glob
+    import shutil as _shutil
+
+    src = tmp_path / "turns-in"
+    src.mkdir()
+    half = len(turns_pdf) // 2
+
+    def _drop(pdf, name):
+        # the file stream lists FLAT files; write then move the part file
+        w = tmp_path / f"w-{name}"
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(str(w))
+        _shutil.copy(_glob.glob(f"{w}/part-*.parquet")[0], str(src / name))
+
+    _drop(turns_pdf.iloc[:half], "f0.parquet")
+
+    pipe = TranscriptPipeline(
+        spark,
+        PipelineConfig(
+            sinks_path=str(tmp_path / "sinks"),
+            checkpoint_path=str(tmp_path / "ckpt.jsonl"),
+            n_buckets=8,
+            n_salt=2,
+            snapshots=True,
+        ),
+    )
+    q = stream_into_snapshots(spark, str(src), pipe, str(tmp_path / "sckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert pipe.read_appended().count() == half
+    first_epochs = [r.run_id for r in pipe.checkpoint.all_committed()]
+    assert all(e.startswith("epoch-") for e in first_epochs)
+
+    # second wave of files -> restart stream -> ONLY the new file lands
+    _drop(turns_pdf.iloc[half:], "f1.parquet")
+    q = stream_into_snapshots(spark, str(src), pipe, str(tmp_path / "sckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert pipe.read_appended().count() == len(turns_pdf)
+    # per-epoch time travel: as of the FIRST epoch, only the first half
+    assert pipe.read_appended(as_of_run=first_epochs[0]).count() == half
+    # stream == batch routing equality on the full table
+    batch = TranscriptPipeline(
+        spark,
+        PipelineConfig(
+            sinks_path=str(tmp_path / "bsinks"),
+            checkpoint_path=str(tmp_path / "bckpt.jsonl"),
+            n_buckets=8,
+            n_salt=2,
+        ),
+    )
+    batch.run(spark.createDataFrame(turns_pdf))
+    a = pipe.read_appended().groupBy("sink").count().collect()
+    b = batch.read_sinks().groupBy("sink").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
