@@ -761,10 +761,39 @@ FROM events GROUP BY event_type
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-sequence transition matrix: counts of (previous
+    event_type -> event_type) over each user's ts-ordered stream — the
+    Markov/session-flow analytic. One window (lag) over the per-user
+    order + one aggregation; the first event of each user has no
+    predecessor and is excluded on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH t AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events)
+SELECT prev_type, event_type, count(*) AS n
+FROM t WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "route_events": QuerySpec(q_route_events, SQL_ROUTE_EVENTS),
     "event_window_stats": QuerySpec(q_event_window_stats, SQL_EVENT_WINDOW_STATS),
     "event_props_stats": QuerySpec(q_event_props_stats, SQL_EVENT_PROPS_STATS),
+    "event_transitions": QuerySpec(q_event_transitions, SQL_EVENT_TRANSITIONS),
     "event_cube_stats": QuerySpec(q_event_cube_stats, SQL_EVENT_CUBE_STATS),
     "user_value_deciles": QuerySpec(q_user_value_deciles, SQL_USER_VALUE_DECILES),
     "packed_training_chunks": QuerySpec(
