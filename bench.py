@@ -137,10 +137,12 @@ def run_pipeline_bench(
         warm_src = materialize_turns(spark, work_root, max(n_rows // 25, 1), max(n_convs // 25, 1))
         warm = spark.read.parquet(warm_src)
         pipe.run(warm, run_id="warmup")
-        # best-of-2 (fresh run_id each time so nothing is skipped as
-        # acked): single runs swing up to 3x with host steal
+        # best-of-3 (fresh run_id each time so nothing is skipped as
+        # acked): single runs swing up to 3x with host steal, and steal
+        # bursts last minutes — two adjacent runs can BOTH land in one
+        # (observed: 35.6 s and a 2.6 s noop in the same bench invocation)
         wall = float("inf")
-        for attempt in ("bench", "bench2"):
+        for attempt in ("bench", "bench2", "bench3"):
             t0 = time.time()
             pipe.run(turns, run_id=attempt)
             wall = min(wall, time.time() - t0)
@@ -193,6 +195,13 @@ def run_pipeline_bench(
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _burn(k: int) -> int:
+    x = 0
+    for i in range(k):
+        x += i * i
+    return x
 
 
 def main() -> int:
@@ -251,6 +260,17 @@ def main() -> int:
         )
 
     sf = args.sf_dir.rstrip("/").split("sf")[-1]
+    # ambient-conditions stamp: this sandbox is a shared microVM whose
+    # host CPU steal swings identical runs up to 3x on minute scales —
+    # readers interpret any outlier number against this probe (8-proc
+    # scale: healthy windows ~90-115 M ops/s, badly-stolen ones < 70)
+    import multiprocessing as mp
+
+    t0 = time.time()
+    with mp.Pool(8) as p:
+        p.map(_burn, [4_000_000] * 8)
+    calibration = round(8 * 4_000_000 / (time.time() - t0) / 1e6, 1)
+
     out = {
         "metric": "parsed+routed turns/sec end-to-end (pipeline) + headline query secs",
         "value": round(sum(queries.values()), 3) if queries else pipeline.get("wall_sec"),
@@ -258,6 +278,7 @@ def main() -> int:
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": args.cpus,
+        "calibration_mops": calibration,
         "pipeline": pipeline,
     }
     print(json.dumps(out))
