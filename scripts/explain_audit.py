@@ -162,6 +162,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate"],
         ["Join", "Python", "CartesianProduct"],
     ),
+    # transition matrix: one lag window + agg, no joins
+    "event_transitions": (
+        ["Window", "HashAggregate"],
+        ["Join", "Python", "CartesianProduct"],
+    ),
     # deciles: agg -> global ntile over the (small) per-user aggregate -> agg
     "user_value_deciles": (
         ["Window", "HashAggregate"],
