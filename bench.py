@@ -40,17 +40,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE_QUERIES = [
     "route_events",
-    "routed_event_counts",
-    "event_type_histogram",
-    "user_session_stats",
+    "routed_event_counts",  # r3: now also carries the per-type histogram grain
+    "user_session_stats",  # r3: now also carries the native session_window agg
     "top3_events_per_type",
-    "hourly_event_rollup",
+    "hourly_event_rollup",  # r3: now also carries the rolling RANGE frame
     "pricing_summary",
     "top_revenue_orders",
     "region_revenue",
     "supplier_part_rollup",
     "exact_dedup_docs",
-    "doc_token_stats",
+    "doc_text_stats",  # r3: token stats + repetition stats merged
     "doc_fingerprints",
     "minhash_neardup_pairs",
     "simhash_neardup_pairs",

@@ -74,6 +74,55 @@ def top_k_per_group(
     )
 
 
+def funnel_depth_scan(
+    events: DataFrame,
+    stages: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Single-pass ordered-funnel depth: ONE keyed aggregation
+    (collect_list per key — one exchange total), then a greedy scan of
+    the time-sorted event array in a Catalyst `aggregate` fold. Greedy is
+    exact here: stage i's completion time t_i = min ts of a stage-i event
+    strictly after t_{i-1}, and a forward scan meets exactly that event
+    first, so the fold reproduces the join-chain semantics of
+    :func:`funnel_depth` (cross-checked in tests/test_training_ops.py and
+    by the driver's CTE-chain oracle). The per-key state is the user's
+    own event list — session-sized, the same working set any
+    sessionization holds.
+
+    Why it beats the join-chain at scale: k stages cost k keyed
+    joins/aggs there (k exchanges of the filtered event stream, even if
+    co-partitioned they are k shuffle materializations); here the event
+    stream is shuffled ONCE regardless of k.
+    """
+    evs = F.array_sort(
+        F.collect_list(F.struct(F.col(ts_col).alias("t"), F.col(type_col).alias("y")))
+    )
+    stage_arr = F.array(*[F.lit(s) for s in stages])
+    # fold state: (depth so far, completion time of the last stage);
+    # the 1900 sentinel is below any real event time, so stage 0 has no
+    # time constraint — and `>` stays strict for every later stage. The
+    # sentinel adopts ts_col's exact type (TIMESTAMP vs TIMESTAMP_NTZ
+    # must match the fold's declared accumulator type).
+    ts_type = {f.name: f.dataType.simpleString() for f in events.schema.fields}[
+        ts_col
+    ]
+    init = F.struct(
+        F.lit(0).alias("d"),
+        F.lit("1900-01-01 00:00:00").cast(ts_type).alias("t"),
+    )
+    step = lambda acc, e: F.when(  # noqa: E731
+        (acc["d"] < len(stages))
+        & (e["y"] == F.element_at(stage_arr, acc["d"] + 1))
+        & (e["t"] > acc["t"]),
+        F.struct((acc["d"] + 1).alias("d"), e["t"].alias("t")),
+    ).otherwise(acc)
+    depth = F.aggregate(evs, init, step)["d"]
+    return events.groupBy(key_col).agg(depth.cast("int").alias("funnel_depth"))
+
+
 def funnel_depth(
     events: DataFrame,
     stages: list[str],

@@ -117,6 +117,7 @@ def asof_join_bucketed(
     by: str = "conv_id",
     value_cols: tuple[str, ...] = ("version",),
     bucket: str = "1 hour",
+    left_key: str | None = None,
 ) -> DataFrame:
     """Composition-of-builtins as-of join.
 
@@ -126,10 +127,27 @@ def asof_join_bucketed(
     nearest-earlier semantics. Shuffles: one per side on (by, bucket) —
     the same cost as any co-partitioned join; no window over the fact
     table beyond the final dedup, no cross join.
+
+    The per-left-row dedup key is DETERMINISTIC (repo standard, same as
+    operators/skew.py's row-hash salt — never monotonically_increasing_id,
+    whose values can differ across stage retries): pass `left_key` (a
+    column unique per left row — the common case, e.g. an event id) and
+    the pick window partitions on it directly; without one, identical
+    left rows are collapsed with an exact multiplicity count before the
+    join and re-exploded after the pick (bonus: duplicate left rows ride
+    the join shuffle once).
     """
-    lb = left.withColumn("_b", F.window(F.col(on), bucket)["start"]).withColumn(
-        "_lid", F.monotonically_increasing_id()
-    )
+    if left_key is not None:
+        lb = left.withColumn("_b", F.window(F.col(on), bucket)["start"])
+        pick_cols = [lb[left_key]]
+        mult = None
+    else:
+        lb = left.groupBy(*[F.col(c) for c in left.columns]).agg(
+            F.count(F.lit(1)).alias("_ln")
+        )
+        lb = lb.withColumn("_b", F.window(F.col(on), bucket)["start"])
+        pick_cols = [lb[c] for c in left.columns]
+        mult = "_ln"
     r_named = forward_filled_versions(lb, right, on, by, value_cols, bucket)
     joined = lb.join(
         r_named,
@@ -143,18 +161,24 @@ def asof_join_bucketed(
     joined = joined.withColumn(
         "_rts_valid", F.when(valid, F.col("_rts"))
     )
-    # keep the latest VALID right row per left row (unique _lid)
-    w_pick = Window.partitionBy(F.col("_lid")).orderBy(
+    # keep the latest VALID right row per (unique) left row
+    w_pick = Window.partitionBy(*pick_cols).orderBy(
         F.col("_rts_valid").desc_nulls_last()
     )
     picked = (
         joined.withColumn("_rn", F.row_number().over(w_pick))
         .filter(F.col("_rn") == 1)
     )
-    return picked.select(
+    out = picked.select(
         *[lb[c] for c in left.columns],
         *[
             F.when(F.col("_rts_valid").isNotNull(), F.col(c)).alias(c)
             for c in value_cols
         ],
+        *([F.col(mult)] if mult else []),
     )
+    if mult:
+        out = out.withColumn(
+            "_exp", F.explode(F.sequence(F.lit(1), F.col(mult)))
+        ).drop(mult, "_exp")
+    return out

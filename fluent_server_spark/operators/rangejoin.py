@@ -40,19 +40,33 @@ def interval_join(
     Returns facts' columns + intervals' columns. The only join is an
     equi-join on the time bucket; with `broadcast_intervals` (the common
     shape — few intervals, huge facts) the fact side never shuffles.
+
+    The two sides must not share column names (the residual filter and
+    the output would be ambiguous) — checked eagerly; the join-bucket
+    temp column is collision-proofed against both sides' columns.
     """
+    shared = set(facts.columns) & set(intervals.columns)
+    if shared:
+        raise ValueError(
+            f"facts and intervals share column names {sorted(shared)}; "
+            "rename one side before interval_join"
+        )
+    taken = set(facts.columns) | set(intervals.columns)
+    b = "_b"
+    while b in taken:
+        b += "_"
     bucket_us = bucket_seconds * 1_000_000
     b_start = _bucket(F.col(start_col), bucket_us)
     # end is exclusive, but a bucket boundary end still lands in the
     # previous bucket's explode range; the residual filter is exact
     b_end = _bucket(F.col(end_col), bucket_us)
     iv = intervals.withColumn(
-        "_b", F.explode(F.sequence(b_start, b_end))
+        b, F.explode(F.sequence(b_start, b_end))
     )
     if broadcast_intervals:
         iv = F.broadcast(iv)
-    fc = facts.withColumn("_b", _bucket(F.col(ts_col), bucket_us))
-    joined = fc.join(iv, "_b").filter(
+    fc = facts.withColumn(b, _bucket(F.col(ts_col), bucket_us))
+    joined = fc.join(iv, b).filter(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     )
-    return joined.drop("_b")
+    return joined.drop(b)

@@ -39,16 +39,17 @@ def deterministic_sample(
     return df.filter(sample_hash(F.col(key_col), salt) < int(rate * _MOD))
 
 
-def weighted_sample(
-    df: DataFrame,
+def weighted_sample_pred(
     key_col: str,
     rate_col: str,
     rates: dict[str, float],
     default_rate: float = 0.0,
     salt: str = "mix",
-) -> DataFrame:
-    """Per-stratum rates (e.g. per `source`): the corpus-mixing primitive.
-    Rates ride the plan as a literal CASE — no join, no shuffle."""
+) -> Column:
+    """The membership DECISION of :func:`weighted_sample` as a boolean
+    Column — usable as a filter (sampling) or as a flag (auditing the
+    mix without dropping rows). Rates ride the plan as a literal CASE —
+    no join, no shuffle."""
     expr = None
     for value, rate in sorted(rates.items()):
         cond = F.col(rate_col) == value
@@ -59,4 +60,18 @@ def weighted_sample(
         if expr is not None
         else F.lit(int(default_rate * _MOD))
     )
-    return df.filter(sample_hash(F.col(key_col), salt) < expr)
+    return sample_hash(F.col(key_col), salt) < expr
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    rate_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Per-stratum rates (e.g. per `source`): the corpus-mixing primitive."""
+    return df.filter(
+        weighted_sample_pred(key_col, rate_col, rates, default_rate, salt)
+    )

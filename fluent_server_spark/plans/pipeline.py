@@ -278,18 +278,53 @@ class TranscriptPipeline:
         (micro-batch epoch) is an immutable INCREMENT rather than a
         reprocess-everything batch (which is what `read_sinks`'s
         latest-wins manifest resolution models). `as_of_run` pins the
-        table as of that run's commit — per-epoch time travel."""
+        table as of that run's commit — per-epoch time travel.
+
+        Two loud-failure contracts (round-2 advice): a table that has
+        had ANY rewrite run (merge_upsert/delete_where/compact_snapshots)
+        no longer has well-defined append semantics — rewrite runs carry
+        COPIES of rows from earlier runs, so the union would double-count
+        — and the call raises, pointing at read_sinks(). A committed run
+        whose directory was vacuumed raises FileNotFoundError (mirroring
+        _read_snapshot's expired-run contract) instead of silently
+        vanishing from the result."""
         if not self.config.snapshots:
             raise ValueError("read_appended requires PipelineConfig(snapshots=True)")
-        runs = list(
-            dict.fromkeys(r.run_id for r in self.checkpoint.all_committed())
-        )
+        committed = self.checkpoint.all_committed()
+        runs = list(dict.fromkeys(r.run_id for r in committed))
         if as_of_run is not None:
             if as_of_run not in runs:
                 raise ValueError(f"no committed run {as_of_run!r}")
             runs = runs[: runs.index(as_of_run) + 1]
+        rewrites = sorted(
+            {r.run_id for r in committed if r.extra.get("rewrite")} & set(runs)
+        )
+        if rewrites:
+            raise ValueError(
+                f"table has rewrite runs {rewrites}: their files duplicate "
+                "rows from earlier runs, so the append-epoch union would "
+                "double-count — use read_sinks() (manifest resolution) for "
+                "post-rewrite state"
+            )
         root = self.config.sinks_path
-        paths = [p for r in runs if os.path.isdir(p := f"{root}/run_id={r}")]
+        rows_per_run: dict[str, int] = {}
+        for rec in committed:
+            rows_per_run[rec.run_id] = rows_per_run.get(rec.run_id, 0) + rec.n_rows
+        paths = []
+        for r in runs:
+            p = f"{root}/run_id={r}"
+            if os.path.isdir(p):
+                paths.append(p)
+            elif rows_per_run.get(r, 0) > 0:
+                # an EMPTY run legitimately never wrote a dir (dynamic
+                # overwrite touches nothing); a run that committed rows
+                # but has no dir was vacuumed
+                raise FileNotFoundError(
+                    f"committed run {r!r} ({rows_per_run[r]} rows) was "
+                    "vacuumed: the append view of this lineage is expired "
+                    "(same contract as snapshot time travel to an expired "
+                    "run)"
+                )
         if not paths:
             return self.spark.createDataFrame([], SINK_SCHEMA)
         return (
@@ -503,6 +538,9 @@ class TranscriptPipeline:
                 started_at=started,
                 finished_at=CheckpointLog.now(),
                 extra={
+                    # rewrite runs contain COPIES of rows from earlier
+                    # runs; read_appended refuses tables containing them
+                    "rewrite": True,
                     "partitions": sorted(
                         set(_list_partitions(write_root, 0, 1))
                         | {f"sink={s}/bucket={b}" for s, b in affected}

@@ -7,7 +7,7 @@ pytest (tests/test_dedup.py)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fluent_server_spark.functions.text import (
@@ -45,33 +45,57 @@ FROM documents GROUP BY 1
 """
 
 
-def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text-quality profile in one result: token counting +
+    punctuation/stopword ratios + the composite quality score (narrow,
+    vectorized, functions/text.py) JOINED with the Gopher-style
+    repetition signals (top-word share, duplicate-word fraction — one
+    explode + two-level aggregation, integer counts until the final
+    division, operators/textstats.py)."""
+    from fluent_server_spark.operators.textstats import repetition_stats
+
     docs = load_table(spark, sf_dir, "documents")
     text = F.col("text")
-    return docs.select(
+    tok = docs.select(
         "doc_id",
         token_count(text).alias("n_tokens"),
         stopword_count(text).alias("n_stopwords"),
         punct_count(text).alias("n_punct"),
         quality_score(text, F.col("n_chars")).alias("quality"),
     )
+    rep = repetition_stats(spread(docs))
+    return tok.join(rep, "doc_id")
 
 
 _STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
-SQL_DOC_TOKEN_STATS = f"""
-SELECT doc_id,
-       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
-       len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                       x -> x IN ({_STOP_IN}))) AS n_stopwords,
-       length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
-       round(0.3 * least(CAST(n_chars AS DOUBLE), 2000.0) / 2000.0
-           + 0.4 * (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
-                          / greatest(CAST(n_chars AS DOUBLE), 1.0))
-           + 0.3 * CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                                        x -> x IN ({_STOP_IN}))) AS DOUBLE)
-                   / greatest(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE), 1.0),
-           6) AS quality
-FROM documents
+SQL_DOC_TEXT_STATS = f"""
+WITH tok AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x IN ({_STOP_IN}))) AS n_stopwords,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+         round(0.3 * least(CAST(n_chars AS DOUBLE), 2000.0) / 2000.0
+             + 0.4 * (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                            / greatest(CAST(n_chars AS DOUBLE), 1.0))
+             + 0.3 * CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                          x -> x IN ({_STOP_IN}))) AS DOUBLE)
+                     / greatest(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE), 1.0),
+             6) AS quality
+  FROM documents),
+w AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+      FROM documents),
+pw AS (SELECT doc_id, w, count(*) AS c FROM w WHERE w <> '' GROUP BY doc_id, w),
+rep AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_words,
+         count(*) AS n_distinct_words,
+         round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_word_frac,
+         round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS dup_word_frac
+  FROM pw GROUP BY doc_id)
+SELECT tok.doc_id, tok.n_tokens, tok.n_stopwords, tok.n_punct, tok.quality,
+       rep.n_words, rep.n_distinct_words, rep.top_word_frac, rep.dup_word_frac
+FROM tok JOIN rep ON tok.doc_id = rep.doc_id
 """
 
 
@@ -437,43 +461,6 @@ MIX_DEFAULT = 0.25
 MIX_SALT = "mix"
 
 
-def q_corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic corpus mixing: per-source sampling rates applied as
-    a pure hash-of-key filter (reproducible across retries, engines,
-    runs — rand() is none of those), then the per-(lang, source) counts
-    of the sampled mix. The oracle replays the IDENTICAL membership
-    decision, so a single flipped row flips the hash."""
-    from fluent_server_spark.operators.sampling import weighted_sample
-
-    docs = load_table(spark, sf_dir, "documents")
-    sampled = weighted_sample(
-        docs, "doc_id", "source", MIX_RATES, default_rate=MIX_DEFAULT, salt=MIX_SALT
-    )
-    return sampled.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
-    )
-
-
-def _sql_corpus_sample_mix() -> str:
-    whens = " ".join(
-        f"WHEN source = '{v}' THEN {int(r * 1_000_000)}"
-        for v, r in sorted(MIX_RATES.items())
-    )
-    keep = (
-        f"CAST('0x' || substr(md5('{MIX_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15) "
-        f"AS BIGINT) % 1000000 < CASE {whens} ELSE {int(MIX_DEFAULT * 1_000_000)} END"
-    )
-    return f"""
-SELECT lang, source, count(*) AS n_docs,
-       CAST(sum(n_chars) AS BIGINT) AS total_chars
-FROM documents WHERE {keep}
-GROUP BY lang, source
-"""
-
-
-SQL_CORPUS_SAMPLE_MIX = _sql_corpus_sample_mix()
-
 QUALITY_MIN = 0.5
 TOKENS_MIN, TOKENS_MAX = 20, 1000
 
@@ -539,7 +526,9 @@ def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hash-of-doc_id membership, operators/sampling.py), then flag every
     train doc sharing any word 5-gram with it. The eval gram set is
     broadcast — the train side never shuffles except the final per-doc
-    count; the oracle replays the identical md5 gram membership."""
+    count; the oracle replays the identical raw-string gram membership
+    (grams stay unhashed by design: they cross a BROADCAST, not a
+    shuffle — see operators/decontaminate.py's measured rationale)."""
     from fluent_server_spark.operators.decontaminate import decontaminate
     from fluent_server_spark.operators.sampling import sample_hash
 
@@ -580,27 +569,6 @@ FROM tr LEFT JOIN hits h USING (doc_id)
 
 SQL_DECONTAMINATE_DOCS = _sql_decontaminate_docs()
 
-
-def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition quality signals per doc (top-word share,
-    duplicate-word fraction) — one explode + a two-level aggregation,
-    integer counts until the final per-row division."""
-    from fluent_server_spark.operators.textstats import repetition_stats
-
-    return repetition_stats(spread(load_table(spark, sf_dir, "documents")))
-
-
-SQL_DOC_REPETITION_STATS = """
-WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
-           FROM documents),
-pw AS (SELECT doc_id, w, count(*) AS c FROM w WHERE w <> '' GROUP BY doc_id, w)
-SELECT doc_id,
-       CAST(sum(c) AS BIGINT) AS n_words,
-       count(*) AS n_distinct_words,
-       round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_word_frac,
-       round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS dup_word_frac
-FROM pw GROUP BY doc_id
-"""
 
 TFIDF_K = 3
 
@@ -715,20 +683,39 @@ SPLIT_BOUNDS = (("train", 0, 800_000), ("val", 800_000, 900_000), ("test", 900_0
 
 
 def q_corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/val/test split manifest: disjoint, exhaustive ranges of ONE
-    hash-of-key (operators/sampling.py::sample_hash) — every doc lands in
-    exactly one split, forever, on any engine; per (split, source)
-    counts form the audit table a training run pins its data lineage to."""
-    from fluent_server_spark.operators.sampling import sample_hash
+    """Train/val/test split manifest + corpus-mix audit in one pass.
+
+    Splits: disjoint, exhaustive ranges of ONE hash-of-key
+    (operators/sampling.py::sample_hash) — every doc lands in exactly one
+    split, forever, on any engine. Mix: the per-source weighted-sample
+    membership (operators/sampling.py::weighted_sample_pred, an
+    independent salt) carried as a FLAG, so the same aggregation audits
+    both the lineage counts and how many of each (split, source) stratum
+    the sampled training mix would keep. The oracle replays the identical
+    membership decisions, so a single flipped row flips the hash."""
+    from fluent_server_spark.operators.sampling import (
+        sample_hash,
+        weighted_sample_pred,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     h = sample_hash(F.col("doc_id"), SPLIT_SALT)
     split = F.when(h < SPLIT_BOUNDS[0][2], SPLIT_BOUNDS[0][0])
     for name, lo, hi in SPLIT_BOUNDS[1:]:
         split = split.when((h >= lo) & (h < hi), name)
-    return docs.withColumn("split", split).groupBy("split", "source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
+    in_mix = weighted_sample_pred(
+        "doc_id", "source", MIX_RATES, default_rate=MIX_DEFAULT, salt=MIX_SALT
+    )
+    return (
+        docs.withColumn("split", split)
+        .withColumn("_mix", in_mix.cast("int"))
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("_mix").alias("n_mix"),
+            F.sum(F.col("_mix") * F.col("n_chars")).alias("mix_chars"),
+        )
     )
 
 
@@ -741,10 +728,23 @@ def _sql_corpus_splits() -> str:
         f"WHEN {h} >= {lo} AND {h} < {hi} THEN '{name}'"
         for name, lo, hi in SPLIT_BOUNDS
     )
+    mix_whens = " ".join(
+        f"WHEN source = '{v}' THEN {int(r * 1_000_000)}"
+        for v, r in sorted(MIX_RATES.items())
+    )
+    mix = (
+        f"CASE WHEN CAST('0x' || substr(md5('{MIX_SALT}' || CAST(doc_id AS VARCHAR)),"
+        f" 1, 15) AS BIGINT) % 1000000"
+        f" < CASE {mix_whens} ELSE {int(MIX_DEFAULT * 1_000_000)} END"
+        f" THEN 1 ELSE 0 END"
+    )
     return f"""
 SELECT CASE {whens} END AS split, source,
-       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
-FROM documents GROUP BY 1, source
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(mix) AS BIGINT) AS n_mix,
+       CAST(sum(mix * n_chars) AS BIGINT) AS mix_chars
+FROM (SELECT *, {mix} AS mix FROM documents)
+GROUP BY 1, source
 """
 
 
@@ -753,6 +753,7 @@ SQL_CORPUS_SPLITS = _sql_corpus_splits()
 FUZZY_BLOCK_CHARS = 12
 FUZZY_CMP_CHARS = 80
 FUZZY_MAX_DIST = 20
+FUZZY_MAX_BLOCK = 64  # degenerate-block cap (same recipe as LSH buckets)
 
 
 def q_fuzzy_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -760,14 +761,26 @@ def q_fuzzy_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first 12 normalized chars (an equi-join on the block key — never
     all-pairs), verified by levenshtein on an 80-char prefix. The
     standard cheap fuzzy-match recipe where quadratic cost is confined
-    inside blocks; both engines implement the identical classic DP
-    distance, so the oracle replays it exactly."""
+    inside blocks — and BOUNDED there: blocks larger than
+    FUZZY_MAX_BLOCK are dropped (a common boilerplate prefix or a sea of
+    empty texts would otherwise go O(k^2) inside one block; such blocks
+    are exact-prefix-duplicate families, the exact-dedup pass's job —
+    the same degenerate-bucket cap the MinHash LSH path uses). The cap
+    is part of the operator's semantics: the oracle replays it, so it is
+    driver-hash-pinned, and both engines implement the identical classic
+    DP distance."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     norm = F.lower(F.trim(F.col("text")))
     d = docs.select(
         "doc_id",
         F.substring(norm, 1, FUZZY_BLOCK_CHARS).alias("blk"),
         F.substring(norm, 1, FUZZY_CMP_CHARS).alias("head"),
+    )
+    wb = Window.partitionBy("blk")
+    d = (
+        d.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+        .filter(F.col("_bsz") <= FUZZY_MAX_BLOCK)
+        .drop("_bsz")
     )
     a, b = d.alias("a"), d.alias("b")
     return (
@@ -782,11 +795,15 @@ def q_fuzzy_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_FUZZY_NEARDUP_PAIRS = f"""
-WITH d AS (
+WITH d0 AS (
   SELECT doc_id,
          substr(lower(trim(text)), 1, {FUZZY_BLOCK_CHARS}) AS blk,
          substr(lower(trim(text)), 1, {FUZZY_CMP_CHARS}) AS head
-  FROM documents)
+  FROM documents),
+d AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY blk) AS bsz FROM d0)
+  WHERE bsz <= {FUZZY_MAX_BLOCK})
 SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        CAST(levenshtein(a.head, b.head) AS INT) AS dist
 FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
@@ -797,7 +814,7 @@ WHERE levenshtein(a.head, b.head) <= {FUZZY_MAX_DIST}
 QUERIES: dict[str, QuerySpec] = {
     "exact_dedup_docs": QuerySpec(q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
     "clean_corpus": QuerySpec(q_clean_corpus, SQL_CLEAN_CORPUS),
-    "doc_token_stats": QuerySpec(q_doc_token_stats, SQL_DOC_TOKEN_STATS),
+    "doc_text_stats": QuerySpec(q_doc_text_stats, SQL_DOC_TEXT_STATS),
     "doc_fingerprints": QuerySpec(q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
     "lang_source_rollup": QuerySpec(q_lang_source_rollup, SQL_LANG_SOURCE_ROLLUP),
     "ngram_jaccard_pairs": QuerySpec(q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
@@ -805,16 +822,12 @@ QUERIES: dict[str, QuerySpec] = {
         q_minhash_neardup_pairs, SQL_MINHASH_NEARDUP_PAIRS
     ),
     "neardup_clusters": QuerySpec(q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
-    "corpus_sample_mix": QuerySpec(q_corpus_sample_mix, SQL_CORPUS_SAMPLE_MIX),
     "incremental_neardup": QuerySpec(q_incremental_neardup, SQL_INCREMENTAL_NEARDUP),
     "simhash_neardup_pairs": QuerySpec(
         q_simhash_neardup_pairs, SQL_SIMHASH_NEARDUP_PAIRS
     ),
     "doc_lang_id": QuerySpec(q_doc_lang_id, SQL_DOC_LANG_ID),
     "decontaminate_docs": QuerySpec(q_decontaminate_docs, SQL_DECONTAMINATE_DOCS),
-    "doc_repetition_stats": QuerySpec(
-        q_doc_repetition_stats, SQL_DOC_REPETITION_STATS
-    ),
     "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "pii_scrub_stats": QuerySpec(q_pii_scrub_stats, SQL_PII_SCRUB_STATS),
     "doc_chunk_stats": QuerySpec(q_doc_chunk_stats, SQL_DOC_CHUNK_STATS),

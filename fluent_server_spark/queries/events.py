@@ -96,57 +96,61 @@ LEFT JOIN {_lookup_values_sql()} ON e.event_type = lkp.event_type
 
 
 def q_routed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sink counts AND the per-(sink, event_type) histogram in one
+    pass via GROUPING SETS ((sink), (sink, event_type)) — the grouping
+    expansion is map-side, so both grains cost one shuffle. Sink-level
+    rows carry event_type='ALL'."""
     return (
         _routed(spark, sf_dir)
-        .groupBy("sink")
+        .groupingSets([["sink"], ["sink", "event_type"]], "sink", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
             F.round(F.sum("value"), 2).alias("sum_value"),
             F.sum("k").alias("sum_k"),
         )
+        .select(
+            "sink",
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n_events",
+            "n_users",
+            "sum_value",
+            "sum_k",
+        )
     )
 
 
 SQL_ROUTED_EVENT_COUNTS = f"""
-SELECT sink, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+SELECT sink, coalesce(event_type, 'ALL') AS event_type,
+       count(*) AS n_events, count(DISTINCT user_id) AS n_users,
        round(sum(value), 2) AS sum_value, CAST(sum(k) AS BIGINT) AS sum_k
 FROM (
   SELECT *, {_sink_case_sql()} AS sink,
          TRY_CAST(regexp_extract(props, '{_K_PATTERN}', 1) AS INT) AS k
   FROM events
-) GROUP BY sink
-"""
-
-
-def q_event_type_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _routed(spark, sf_dir)
-        .groupBy("sink", "event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
-SQL_EVENT_TYPE_HISTOGRAM = f"""
-SELECT sink, event_type, count(*) AS n
-FROM (SELECT event_type, {_sink_case_sql()} AS sink FROM events)
-GROUP BY sink, event_type
+) GROUP BY GROUPING SETS ((sink), (sink, event_type))
 """
 
 SESSION_GAP_S = 1800
 
 
 def q_user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization: gap>30min starts a new session — lag + cumsum idiom.
-
-    Window on (user_id ORDER BY ts, event_id): one shuffle serves the
-    lag and the final groupBy (same partitioning key).
-    """
+    """Sessionization BOTH ways, cross-validated in one result: the lag +
+    cumsum idiom (gap>30min starts a new session; one window on (user_id
+    ORDER BY ts, event_id) whose shuffle also serves the final groupBy)
+    AND Spark's NATIVE session_window primitive, joined per user. The two
+    session counts must agree — the driver hash check IS the agreement
+    proof — and session_window additionally contributes per-session dwell
+    time. Boundary semantics (pinned in tests/test_session_window.py): a
+    gap of EXACTLY the window size still MERGES (Spark session windows
+    are closed at the merge boundary), so both the lag idiom and the SQL
+    oracle's gaps-and-islands cumsum start a new session only on gap
+    STRICTLY greater."""
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ts_us = ntz_micros(F.col("ts"))  # tz-independent (driver session != UTC)
     gap = ts_us - F.lag(ts_us).over(w)
-    return (
+    lagged = (
         events.withColumn(
             "new_sess",
             F.when(gap.isNull() | (gap > SESSION_GAP_S * 1_000_000), 1).otherwise(0),
@@ -160,141 +164,51 @@ def q_user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+    sess = events.groupBy(
+        "user_id", F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("sw")
+    ).agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    dwell = ntz_micros(F.col("t1")) - ntz_micros(F.col("t0"))
+    native = sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("sw_n_sessions"),
+        F.sum(dwell).alias("dwell_us"),
+    )
+    return lagged.join(native, "user_id")
 
 
 SQL_USER_SESSION_STATS = f"""
-SELECT user_id, count(*) AS n_events, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
-       epoch_us(min(ts)) AS first_ts_us, epoch_us(max(ts)) AS last_ts_us,
-       round(sum(value), 2) AS sum_value
-FROM (
-  SELECT *, CASE WHEN gap_us IS NULL OR gap_us > {SESSION_GAP_S} * 1000000
-                 THEN 1 ELSE 0 END AS new_sess
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN gap_us IS NULL OR gap_us > {SESSION_GAP_S} * 1000000
+              THEN 1 ELSE 0 END AS new_sess
   FROM (
     SELECT *, epoch_us(ts) - lag(epoch_us(ts))
                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
     FROM events
-  )
-) GROUP BY user_id
-"""
-
-
-def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization via Spark's NATIVE session_window (merge events
-    with inter-arrival gap < 30min) — the engine primitive behind the
-    lag+cumsum idiom of user_session_stats, here producing per-SESSION
-    rows first (one groupBy on (user, session_window)), then per-user
-    session counts and total in-session dwell time. Boundary semantics
-    (pinned in tests/test_session_window.py): a gap of EXACTLY the
-    window size still MERGES (Spark session windows are closed at the
-    merge boundary), so the SQL oracle's gaps-and-islands cumsum starts
-    a new session only on gap STRICTLY greater."""
-    events = load_table(spark, sf_dir, "events")
-    sess = events.groupBy(
-        "user_id", F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("sw")
-    ).agg(
-        F.count(F.lit(1)).alias("n_ev"),
-        F.min("ts").alias("t0"),
-        F.max("ts").alias("t1"),
-    )
-    dwell = ntz_micros(F.col("t1")) - ntz_micros(F.col("t0"))
-    return sess.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_sessions"),
-        F.sum("n_ev").alias("n_events"),
-        F.sum(dwell).alias("dwell_us"),
-    )
-
-
-SQL_SESSION_WINDOW_STATS = f"""
-WITH marked AS (
-  SELECT user_id, ts,
-         CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
-                   > {SESSION_GAP_S} * 1000000
-              THEN 1 ELSE 0 END AS new_s
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+  )),
 sid AS (
-  SELECT user_id, ts,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                          ROWS UNBOUNDED PRECEDING) AS s
+  SELECT user_id, ts, value, new_sess,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS s
   FROM marked),
 sess AS (
-  SELECT user_id, s, count(*) AS n_ev,
-         epoch_us(max(ts)) - epoch_us(min(ts)) AS dwell_us
-  FROM sid GROUP BY user_id, s)
-SELECT user_id, count(*) AS n_sessions, CAST(sum(n_ev) AS BIGINT) AS n_events,
-       CAST(sum(dwell_us) AS BIGINT) AS dwell_us
-FROM sess GROUP BY user_id
+  SELECT user_id, s, epoch_us(max(ts)) - epoch_us(min(ts)) AS dwell_us
+  FROM sid GROUP BY user_id, s),
+native AS (
+  SELECT user_id, count(*) AS sw_n_sessions,
+         CAST(sum(dwell_us) AS BIGINT) AS dwell_us
+  FROM sess GROUP BY user_id),
+lagged AS (
+  SELECT user_id, count(*) AS n_events,
+         CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+         epoch_us(min(ts)) AS first_ts_us, epoch_us(max(ts)) AS last_ts_us,
+         round(sum(value), 2) AS sum_value
+  FROM sid GROUP BY user_id)
+SELECT l.user_id, l.n_events, l.n_sessions, l.first_ts_us, l.last_ts_us,
+       l.sum_value, n.sw_n_sessions, n.dwell_us
+FROM lagged l JOIN native n ON l.user_id = n.user_id
 """
 
 ROLLING_HOURS = 3
-
-
-def q_rolling_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding time-window rollup: per event_type, the trailing-3h event
-    count at each hour — a RANGE frame over event-time (the time-series
-    shape hourly_event_rollup can't express), computed over the tiny
-    hourly aggregate so the frame scan never touches raw events."""
-    events = load_table(spark, sf_dir, "events")
-    hour_us = (ntz_micros(F.col("ts")) / 3_600_000_000).cast("bigint")
-    hourly = events.groupBy(
-        "event_type", hour_us.alias("hour_idx")
-    ).agg(F.count(F.lit(1)).alias("n"))
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("hour_idx")
-        .rangeBetween(-(ROLLING_HOURS - 1), 0)
-    )
-    return hourly.select(
-        "event_type",
-        "hour_idx",
-        "n",
-        F.sum("n").over(w).alias("rolling_n"),
-    )
-
-
-SQL_ROLLING_EVENT_ROLLUP = f"""
-WITH hourly AS (
-  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx, count(*) AS n
-  FROM events GROUP BY 1, 2)
-SELECT event_type, hour_idx, n,
-       CAST(sum(n) OVER (PARTITION BY event_type ORDER BY hour_idx
-                         RANGE BETWEEN {ROLLING_HOURS - 1} PRECEDING
-                               AND CURRENT ROW) AS BIGINT) AS rolling_n
-FROM hourly
-"""
-
-
-def q_event_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robust dispersion per event_type via a GROUPED-AGG pandas UDF —
-    the custom-UDAF surface (Arrow batch in, scalar out, partial
-    aggregation handled by the engine's grouped-map machinery). MAD =
-    median(|x - median(x)|): a rank statistic Catalyst has no builtin
-    for, and exactly the kind of metric a quality pipeline wants
-    (outlier-robust, unlike stddev). Oracled against DuckDB's native
-    mad() — both sides sort-and-midpoint in float64, so values match
-    bit-for-bit."""
-    events = load_table(spark, sf_dir, "events")
-
-    @F.pandas_udf("double")
-    def mad_udf(v: pd.Series) -> float:
-        med = v.median()
-        return float((v - med).abs().median())
-
-    # Spark disallows mixing a grouped-agg pandas UDF with native
-    # aggregates in one agg(); the count rides a separate tiny agg
-    # joined back on the (few-row) group key.
-    mad = events.groupBy("event_type").agg(
-        F.round(mad_udf("value"), 6).alias("mad_value")
-    )
-    counts = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    return counts.join(mad, "event_type").select("event_type", "n", "mad_value")
-
-
-SQL_EVENT_VALUE_MAD = """
-SELECT event_type, count(*) AS n, round(mad(value), 6) AS mad_value
-FROM events GROUP BY event_type
-"""
 
 
 def q_top3_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -321,45 +235,82 @@ FROM (
 
 
 def q_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-windowed rollup — the batch face of a streaming windowed agg."""
+    """Time-windowed rollup, tumbling AND sliding in one result: the
+    per-(event_type, hour) tumbling aggregate (the batch face of a
+    streaming windowed agg) plus the trailing-3h rolling count — a RANGE
+    frame over event-time, computed over the tiny hourly aggregate so the
+    frame scan never touches raw events (the window's partition key is
+    the groupBy key: one shuffle serves both)."""
     events = load_table(spark, sf_dir, "events")
-    return (
-        events.groupBy(
-            ntz_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
-            "event_type",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
-        )
+    hour_us = (ntz_micros(F.col("ts")) / 3_600_000_000).cast("bigint")
+    hourly = events.groupBy("event_type", hour_us.alias("hour_idx")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rangeBetween(-(ROLLING_HOURS - 1), 0)
+    )
+    return hourly.select(
+        "event_type",
+        "hour_idx",
+        "n",
+        "avg_value",
+        F.sum("n").over(w).alias("rolling_n"),
     )
 
 
-SQL_HOURLY_EVENT_ROLLUP = """
-SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
-       count(*) AS n, round(avg(value), 4) AS avg_value
-FROM events GROUP BY 1, 2
+SQL_HOURLY_EVENT_ROLLUP = f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx, count(*) AS n,
+         round(avg(value), 4) AS avg_value
+  FROM events GROUP BY 1, 2)
+SELECT event_type, hour_idx, n, avg_value,
+       CAST(sum(n) OVER (PARTITION BY event_type ORDER BY hour_idx
+                         RANGE BETWEEN {ROLLING_HOURS - 1} PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS rolling_n
+FROM hourly
 """
 
 
-def q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles per event_type (Spark `percentile` == SQL
-    quantile_cont, linear interpolation). The scale path swaps in
-    percentile_approx (t-digest) — approximate by design, so the exact
-    variant is the oracle-checked one."""
+def q_event_value_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion profile per event_type: exact percentiles (Spark
+    `percentile` == SQL quantile_cont, linear interpolation; the scale
+    path swaps in percentile_approx/t-digest, approximate by design, so
+    the exact variant is the oracle-checked one) PLUS the median absolute
+    deviation via a GROUPED-AGG pandas UDF — the custom-UDAF surface
+    (Arrow batch in, scalar out). MAD = median(|x - median(x)|): a rank
+    statistic Catalyst has no builtin for, outlier-robust unlike stddev.
+    Oracled against DuckDB's native mad() — both sides sort-and-midpoint
+    in float64, so values match bit-for-bit. Spark disallows mixing a
+    grouped-agg pandas UDF with native aggregates in one agg(); the MAD
+    rides a separate agg joined back on the (few-row) group key."""
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
+
+    @F.pandas_udf("double")
+    def mad_udf(v: pd.Series) -> float:
+        med = v.median()
+        return float((v - med).abs().median())
+
+    base = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
         F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
         F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
         F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
     )
+    mad = events.groupBy("event_type").agg(
+        F.round(mad_udf("value"), 6).alias("mad_value")
+    )
+    return base.join(mad, "event_type")
 
 
-SQL_EVENT_VALUE_QUANTILES = """
-SELECT event_type,
+SQL_EVENT_VALUE_DISPERSION = """
+SELECT event_type, count(*) AS n,
        round(quantile_cont(value, 0.5), 4) AS p50,
        round(quantile_cont(value, 0.95), 4) AS p95,
-       round(quantile_cont(value, 0.99), 4) AS p99
+       round(quantile_cont(value, 0.99), 4) AS p99,
+       round(mad(value), 6) AS mad_value
 FROM events GROUP BY event_type
 """
 
@@ -439,6 +390,7 @@ def q_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = asof_join_bucketed(
         left, errors, on="ts", by="user_id",
         value_cols=("last_error_us",), bucket="1 hour",
+        left_key="event_id",
     )
     return joined.select("event_id", "user_id", "last_error_us")
 
@@ -593,11 +545,14 @@ FUNNEL_STAGES = ["view", "click", "signup", "purchase"]
 def q_event_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-funnel depth per user (view -> click -> signup ->
     purchase, each stage strictly after the earliest completion of the
-    previous). Every shuffle in the chain is keyed on user_id
-    (operators/aggregates.py::funnel_depth)."""
-    from fluent_server_spark.operators.aggregates import funnel_depth
+    previous) — the SINGLE-PASS formulation (one keyed exchange + a
+    greedy array fold, operators/aggregates.py::funnel_depth_scan). The
+    k-join chain (funnel_depth) survives as the pytest cross-check, and
+    the driver oracle replays it as the CTE chain below — three
+    independent formulations pinned equal."""
+    from fluent_server_spark.operators.aggregates import funnel_depth_scan
 
-    return funnel_depth(load_table(spark, sf_dir, "events"), FUNNEL_STAGES)
+    return funnel_depth_scan(load_table(spark, sf_dir, "events"), FUNNEL_STAGES)
 
 
 def _sql_event_funnel_depth(stages: list[str] = FUNNEL_STAGES) -> str:
@@ -662,19 +617,23 @@ N_DECILES = 10
 def q_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User segmentation: ntile deciles by total event value (ties broken
     on user_id so the tiling is a total order), then per-decile size and
-    value mass — the cohort/LTV-banding shape."""
+    value mass — the cohort/LTV-banding shape. The tiling is the
+    DISTRIBUTED exact-ntile (operators/ranking.py: range exchange +
+    per-partition row_number + broadcast offsets) — identical semantics
+    to `ntile(10) OVER (ORDER BY ...)` with no single-partition global
+    sort anywhere in the plan."""
+    from fluent_server_spark.operators.ranking import with_global_ntile
+
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.round(F.sum("value"), 2).alias("total_value")
     )
-    w = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
-    return (
-        per_user.withColumn("decile", F.ntile(N_DECILES).over(w))
-        .groupBy("decile")
-        .agg(
-            F.count(F.lit(1)).alias("n_users"),
-            F.round(F.sum("total_value"), 2).alias("decile_value"),
-        )
+    tiled = with_global_ntile(
+        per_user, N_DECILES, [F.desc("total_value"), F.asc("user_id")], out="decile"
+    )
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.sum("total_value"), 2).alias("decile_value"),
     )
 
 
@@ -804,21 +763,13 @@ QUERIES: dict[str, QuerySpec] = {
     "asof_last_error": QuerySpec(q_asof_last_error, SQL_ASOF_LAST_ERROR),
     "user_journey": QuerySpec(q_user_journey, SQL_USER_JOURNEY),
     "heavy_users": QuerySpec(q_heavy_users, SQL_HEAVY_USERS),
-    "event_value_quantiles": QuerySpec(
-        q_event_value_quantiles, SQL_EVENT_VALUE_QUANTILES
+    "event_value_dispersion": QuerySpec(
+        q_event_value_dispersion, SQL_EVENT_VALUE_DISPERSION
     ),
     "dedup_events_window": QuerySpec(q_dedup_events_window, SQL_DEDUP_EVENTS_WINDOW),
     "event_type_set_ops": QuerySpec(q_event_type_set_ops, SQL_EVENT_TYPE_SET_OPS),
     "routed_event_counts": QuerySpec(q_routed_event_counts, SQL_ROUTED_EVENT_COUNTS),
-    "event_type_histogram": QuerySpec(q_event_type_histogram, SQL_EVENT_TYPE_HISTOGRAM),
     "user_session_stats": QuerySpec(q_user_session_stats, SQL_USER_SESSION_STATS),
     "top3_events_per_type": QuerySpec(q_top3_events_per_type, SQL_TOP3_EVENTS_PER_TYPE),
     "hourly_event_rollup": QuerySpec(q_hourly_event_rollup, SQL_HOURLY_EVENT_ROLLUP),
-    "session_window_stats": QuerySpec(
-        q_session_window_stats, SQL_SESSION_WINDOW_STATS
-    ),
-    "rolling_event_rollup": QuerySpec(
-        q_rolling_event_rollup, SQL_ROLLING_EVENT_ROLLUP
-    ),
-    "event_value_mad": QuerySpec(q_event_value_mad, SQL_EVENT_VALUE_MAD),
 }

@@ -1,8 +1,14 @@
 """Driver query over the fluent spool-file source (sources/fluentfile.py).
 
-The fixture is generated deterministically at query time (same bytes on
-every call — gzip mtime pinned), decoded through the FULL Spark path
-(binaryFile scan -> mapInPandas msgpack decode), then aggregated. The
+The fixture is PRE-MATERIALIZED: the spool files are deterministic bytes
+(gzip mtime pinned), generated once by `materialize_fixture()` and
+COMMITTED under fluent_server_spark/data/spool_fixture/, so the driver
+query performs no filesystem writes at build or run time (round-2 review
+flagged the old tempdir side effect as a plausible reason a stricter
+sandbox skipped this query). tests/test_fluentfile.py regenerates the
+bytes and asserts they equal the committed files, so codec drift cannot
+silently stale the fixture. The files decode through the FULL Spark path
+(binaryFile scan -> mapInPandas msgpack decode), then aggregate. The
 oracle is the same aggregate computed by INDEPENDENT pure-Python dict
 arithmetic straight from the entry spec — it never touches the msgpack
 codec — rendered as a VALUES literal, so an encode/decode bug on either
@@ -13,7 +19,6 @@ from __future__ import annotations
 
 import datetime
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -59,15 +64,29 @@ def _spec() -> list[tuple[str, bool, list[tuple]]]:
     return files
 
 
-def _fixture_dir() -> str:
-    root = os.path.join(tempfile.gettempdir(), "fss-spool-fixture")
+FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data",
+    "spool_fixture",
+)
+
+
+def materialize_fixture(root: str) -> list[str]:
+    """Regenerate the deterministic spool bytes under `root` (used once
+    to create the committed fixture, and by the drift test)."""
     from fluent_server_spark.sources.fluentfile import write_spool_file
 
     os.makedirs(root, exist_ok=True)
+    names = []
     for tag, gz, entries in _spec():
         name = f"{tag}.msgpack" + (".gz" if gz else "")
         write_spool_file(os.path.join(root, name), entries, compress=gz)
-    return root
+        names.append(name)
+    return names
+
+
+def _fixture_dir() -> str:
+    return FIXTURE_DIR
 
 
 def q_fluent_spool_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

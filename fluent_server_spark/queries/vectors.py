@@ -50,14 +50,24 @@ def _sql_bucket(vcol: str, planes: list[list[float]]) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
+EXACT_PAIRS_ANCHOR = 500  # deterministic cap: the exact O(n^2) baseline
+# is BOUNDED BY CONSTRUCTION — at any sf the cross join sees at most
+# 500 vectors (pushed into the scan), so no unbounded CartesianProduct
+# is reachable from queries(). The unbounded scale path is
+# embedding_neardup_lsh; exact-vs-LSH recall parity over this same
+# anchor slice is pinned in tests/test_similarity.py.
+
+
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cosine_neardup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=NEARDUP_THRESHOLD
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < EXACT_PAIRS_ANCHOR
     )
+    return cosine_neardup_pairs(emb, threshold=NEARDUP_THRESHOLD)
 
 
 SQL_EMBEDDING_NEARDUP_PAIRS = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id < {EXACT_PAIRS_ANCHOR}),
 p AS (
   SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          {_DOT.format(a='a.v', b='b.v')}

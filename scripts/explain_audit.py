@@ -27,11 +27,18 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "codegen id", "ReadSchema"],
         ["SortMergeJoin", "CartesianProduct"],
     ),
+    # r3: per-sink counts + per-type histogram via GROUPING SETS — the
+    # grouping expansion (Expand) is map-side, one shuffle for both grains
     "routed_event_counts": (
-        ["HashAggregate", "codegen id"],
+        ["HashAggregate", "Expand", "codegen id"],
         ["SortMergeJoin", "CartesianProduct"],
     ),
-    "user_session_stats": (["WindowExec|Window", "HashAggregate"], ["CartesianProduct"]),
+    # r3: lag+cumsum AND native session_window, joined per user — the
+    # join is keyed on user_id (hash join), never nested-loop
+    "user_session_stats": (
+        ["WindowExec|Window", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     "pricing_summary": (
         ["HashAggregate", "PushedFilters: \\[IsNotNull\\(l_shipdate\\)", "codegen id"],
         ["Join"],
@@ -87,17 +94,14 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["MapInPandas|FlatMapGroupsInPandas|ArrowEvalPython|Python", "HashAggregate"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
-    # deterministic sampling: a pure literal-CASE filter + one agg,
-    # no join, no RNG exchange
-    "corpus_sample_mix": (["HashAggregate", "Filter"], ["Join", "CartesianProduct"]),
     # incremental (new-batch x corpus) near-dup: equi-joins only
     "incremental_neardup": (
         ["ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
-    # native session windows + trailing RANGE frame: window/agg, no joins
-    "session_window_stats": (["HashAggregate"], ["Join", "CartesianProduct"]),
-    "rolling_event_rollup": (["Window", "HashAggregate"], ["Join", "CartesianProduct"]),
+    # r3: tumbling hourly agg + trailing RANGE frame in one query —
+    # window/agg only, no joins
+    "hourly_event_rollup": (["Window", "HashAggregate"], ["Join", "CartesianProduct"]),
     # decontamination: eval gram set must BROADCAST (train side un-shuffled
     # for the membership test); no sort-merge, no cartesian
     "decontaminate_docs": (
@@ -109,10 +113,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Window", "HashAggregate"],
         ["Join", "CartesianProduct"],
     ),
-    # repetition stats: explode + two-level agg, no joins at all
-    "doc_repetition_stats": (
+    # r3: token/quality stats + repetition stats (explode + two-level
+    # agg) joined per doc — keyed hash join, never nested-loop
+    "doc_text_stats": (
         ["Generate explode|Generate", "HashAggregate"],
-        ["Join", "CartesianProduct"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
     # tf-idf: corpus size joins as BROADCAST 1-row relation; the df join
     # is keyed (shuffled/broadcast hash), never nested-loop over facts
@@ -130,10 +135,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Generate"],
         ["Exchange", "Join", "CartesianProduct"],
     ),
-    # funnel: keyed joins/aggs only, never nested-loop
+    # r3 funnel: SINGLE-PASS — one keyed aggregation (collect + greedy
+    # array fold), ONE exchange, no joins at all (the k-join chain
+    # survives as the pytest/oracle cross-check only)
     "event_funnel_depth": (
-        ["HashAggregate"],
-        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        ["HashAggregate|ObjectHashAggregate|SortAggregate"],
+        ["Join", "CartesianProduct"],
     ),
     # CUBE: one Expand + partial/final agg, no joins
     "event_cube_stats": (
@@ -157,7 +164,8 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
-    # split manifest: a CASE over one hash + agg, no joins
+    # split manifest + mix audit: CASE over two independent hashes + one
+    # agg, still no joins
     "corpus_splits": (
         ["HashAggregate"],
         ["Join", "Python", "CartesianProduct"],
@@ -167,10 +175,22 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Window", "HashAggregate"],
         ["Join", "Python", "CartesianProduct"],
     ),
-    # deciles: agg -> global ntile over the (small) per-user aggregate -> agg
+    # r3 deciles: DISTRIBUTED exact ntile — range exchange + per-range-
+    # partition window + broadcast offsets/total; the only single-
+    # partition window runs over one row per partition. MUST NOT contain
+    # a single-partition Exchange feeding a data-sized Window (checked
+    # as: no 'Exchange SinglePartition' directly above a Sort of the
+    # per-user relation — the tiny offsets window is Exchange
+    # SinglePartition over #partitions rows, allowed and unavoidable).
     "user_value_deciles": (
-        ["Window", "HashAggregate"],
-        ["Join", "CartesianProduct"],
+        ["Window", "HashAggregate", "Exchange rangepartitioning", "BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # r3: exact O(n^2) embedding baseline is BOUNDED BY CONSTRUCTION —
+    # the anchor filter must be pushed into the scan
+    "embedding_neardup_pairs": (
+        ["PushedFilters: .*LessThan\\(vec_id,500\\)"],
+        ["SortMergeJoin"],
     ),
 }
 

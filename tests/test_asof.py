@@ -167,3 +167,63 @@ def test_interval_join_matches_naive_inequality_join(spark):
         for r in interval_join(b, ivs.filter("w_id = 0"), "ts", "s", "e").collect()
     }
     assert hit == {100}
+
+
+def test_bucketed_asof_left_key_matches_keyless(spark, asof_data):
+    """The deterministic dedup key paths agree: a real unique left key
+    (left_key=) and the keyless collapse+re-explode default produce the
+    identical result."""
+    left, right, lpdf, rpdf = asof_data
+    cols = ["conv_id", "turn_idx", "ts", "version"]
+    keyless = (
+        asof_join_bucketed(left, right, bucket="1 hour")
+        .toPandas()[cols].sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    # turn_idx is unique only per conv here, so build a truly unique key
+    left2 = left.selectExpr("conv_id", "turn_idx", "ts",
+                            "concat(conv_id, '#', turn_idx) AS uid")
+    keyed2 = (
+        asof_join_bucketed(left2, right, bucket="1 hour", left_key="uid")
+        .drop("uid")
+        .toPandas()[cols].sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(keyed2, keyless, check_dtype=False)
+
+
+def test_bucketed_asof_keyless_preserves_duplicate_left_rows(spark):
+    """Byte-identical left rows keep their multiplicity through the
+    keyless collapse + re-explode (the round-2 monotonically_increasing_id
+    replacement must not dedup the left)."""
+    base = pd.Timestamp("2024-01-01")
+    left = spark.createDataFrame(
+        [("c", base.to_pydatetime())] * 3
+        + [("c", (base + pd.Timedelta("2h")).to_pydatetime())] * 2,
+        "conv_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("c", (base - pd.Timedelta("1h")).to_pydatetime(), "v0"),
+         ("c", (base + pd.Timedelta("1h")).to_pydatetime(), "v1")],
+        "conv_id string, ts timestamp, version string",
+    )
+    got = asof_join_bucketed(left, right, bucket="1 hour").toPandas()
+    counts = got.groupby("version").size().to_dict()
+    assert len(got) == 5
+    assert counts == {"v0": 3, "v1": 2}
+
+
+def test_interval_join_rejects_shared_column_names(spark):
+    from fluent_server_spark.operators.rangejoin import interval_join
+
+    facts = spark.createDataFrame([(1,)], "ts int").selectExpr(
+        "CAST('2024-01-01' AS timestamp_ntz) AS ts", "1 AS _b"
+    )
+    ivs = spark.createDataFrame([(1,)], "x int").selectExpr(
+        "CAST('2024-01-01' AS timestamp_ntz) AS s",
+        "CAST('2024-01-02' AS timestamp_ntz) AS e",
+        "2 AS _b",
+    )
+    with pytest.raises(ValueError, match="share column names"):
+        interval_join(facts, ivs, "ts", "s", "e")
+    # non-overlapping _b-bearing sides work: temp col collision-proofed
+    got = interval_join(facts.drop("_b"), ivs.withColumnRenamed("_b", "w"), "ts", "s", "e")
+    assert got.count() == 1 and set(got.columns) == {"ts", "s", "e", "w"}

@@ -126,3 +126,21 @@ def test_fluent_file_source_feeds_pipeline_schema(spark, tmp_path):
 
     parsed = parse_turns(turns).select("parsed.*").collect()
     assert all(r.parse_ok for r in parsed)
+
+
+def test_committed_spool_fixture_matches_regenerated(tmp_path):
+    """The committed fixture bytes (fluent_server_spark/data/spool_fixture,
+    read by the driver query with ZERO runtime writes) must equal a fresh
+    deterministic regeneration — codec drift cannot silently stale them."""
+    import os
+
+    from fluent_server_spark.queries.spool import FIXTURE_DIR, materialize_fixture
+
+    names = materialize_fixture(str(tmp_path))
+    assert sorted(names) == sorted(os.listdir(FIXTURE_DIR))
+    for name in names:
+        with open(os.path.join(FIXTURE_DIR, name), "rb") as f:
+            committed = f.read()
+        with open(tmp_path / name, "rb") as f:
+            regenerated = f.read()
+        assert committed == regenerated, f"fixture drift in {name}"

@@ -150,3 +150,34 @@ def test_compact_consolidates_live_snapshot(spark, pipe, turns_pdf):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(before, after2, check_like=True)
+
+
+def test_read_appended_refuses_rewritten_table(spark, pipe):
+    """Rewrite runs carry copies of rows from earlier runs; unioning them
+    as append epochs would double-count — read_appended must raise
+    (round-2 advice), pointing at read_sinks()."""
+    n0 = pipe.read_sinks().count()
+    assert pipe.read_appended().count() == n0  # pre-rewrite: well-defined
+    pipe.delete_where(F.col("conv_id") == "conv-00000", run_id="del1")
+    with pytest.raises(ValueError, match="rewrite runs"):
+        pipe.read_appended()
+    # the manifest-resolved read stays correct
+    assert pipe.read_sinks().filter(F.col("conv_id") == "conv-00000").count() == 0
+
+
+def test_read_appended_raises_on_vacuumed_run(spark, turns_pdf, tmp_path):
+    """A committed run whose files were vacuumed must raise
+    FileNotFoundError from read_appended (mirroring _read_snapshot's
+    expired-run contract), not silently vanish from the union."""
+    import shutil
+
+    p = TranscriptPipeline(spark, _cfg(tmp_path))
+    sdf = spark.createDataFrame(turns_pdf)
+    half = turns_pdf.shape[0] // 2
+    p.run(spark.createDataFrame(turns_pdf.iloc[:half]), run_id="epoch1")
+    p.run(spark.createDataFrame(turns_pdf.iloc[half:]), run_id="epoch2")
+    assert p.read_appended().count() == len(turns_pdf)
+    shutil.rmtree(f"{p.config.sinks_path}/run_id=epoch1")
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        p.read_appended()
+    del sdf

@@ -208,3 +208,33 @@ def test_funnel_depth_strictly_after(spark):
     )
     got = funnel_depth(ev, ["view", "click"]).first()
     assert got["funnel_depth"] == 1
+
+
+def test_funnel_scan_matches_join_chain(spark, turns_sdf):
+    """The single-pass greedy-fold funnel must equal the k-join chain on
+    a real event stream (both also replayed by the driver's CTE oracle)."""
+    from fluent_server_spark.operators.aggregates import funnel_depth, funnel_depth_scan
+
+    ev = turns_sdf.selectExpr(
+        "conv_id AS user_id", "ts", "role AS event_type"
+    )
+    stages = ["user", "assistant", "tool"]
+    chain = {r["user_id"]: r["funnel_depth"] for r in funnel_depth(ev, stages).collect()}
+    scan = {r["user_id"]: r["funnel_depth"] for r in funnel_depth_scan(ev, stages).collect()}
+    assert scan == chain
+
+
+def test_funnel_scan_same_timestamp_not_double_counted(spark):
+    """A later stage at EXACTLY the previous stage's completion time does
+    not count (strictly-after semantics on both formulations)."""
+    from fluent_server_spark.operators.aggregates import funnel_depth, funnel_depth_scan
+
+    ev = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:00", "view"),
+         ("u", "2024-01-01 00:00:00", "click"),
+         ("u", "2024-01-01 00:00:05", "click")],
+        "user_id string, ts_s string, event_type string",
+    ).selectExpr("user_id", "CAST(ts_s AS timestamp_ntz) AS ts", "event_type")
+    got = funnel_depth_scan(ev, ["view", "click"]).first()["funnel_depth"]
+    want = funnel_depth(ev, ["view", "click"]).first()["funnel_depth"]
+    assert got == want == 2  # the 00:00:05 click counts, the 00:00:00 one doesn't
