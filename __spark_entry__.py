@@ -7,12 +7,17 @@ order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
 Query implementations live in fluent_server_spark/queries/*; each
 pairs the Spark DataFrame plan with its DuckDB oracle SQL so they
-cannot drift apart. As of round 2 there are NO rows-only entries:
-the approximate ops (MinHash/SimHash/hyperplane-LSH/IVF/lang-id)
-are built on md5 hashes, literal hyperplanes, and deterministic
-centroids precisely so the identical algorithm replays in generated
-SQL; their approximate-vs-exact recall is additionally pinned in
-pytest.
+cannot drift apart. There are NO rows-only entries: the approximate
+ops (MinHash/SimHash/hyperplane-LSH/IVF/lang-id) are built on md5
+hashes, literal hyperplanes, and deterministic centroids precisely
+so the identical algorithm replays in generated SQL; their
+approximate-vs-exact recall is additionally pinned in pytest.
+
+The registry holds EXACTLY 50 queries: the driver records
+CORRECTNESS rows for the first 50 registered (diagnosed round 3 —
+r2 registered 56 and rows appeared for precisely positions 0..49;
+r1 ran 34/34). COVERAGE.md §"50-query surface" maps the six
+near-twin merges that keep every operator claim driver-tested.
 """
 
 from __future__ import annotations

@@ -45,18 +45,31 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k: crossJoin + window. The correctness baseline;
-    cost O(Q*N) — fine for small Q (queries broadcast), not for Q~N."""
+    cost O(Q*N) — fine for small Q (queries broadcast), not for Q~N.
+
+    Norms are per-VECTOR quantities, precomputed on each side before the
+    join so the per-pair kernel is ONE dot product instead of three
+    array folds (the r2 lesson from cosine_neardup_lsh, applied here in
+    r3: at Q=8 this cuts the O(Q*N) inner loop's array traversals 3x;
+    same arithmetic — dot/(|q|*|c|) — so oracle values are bit-identical)."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_nrm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_nrm"),
     )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "cos",
+            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -218,15 +231,24 @@ def lsh_topk(
     The equi-join on bucket replaces the cross join: expected candidate
     count N/2^H per query. Recall is tested against brute_force_topk."""
     qb = with_lsh_bucket(queries, dim, n_planes, seed, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_nrm"),
+        "bucket",
     )
     cb = with_lsh_bucket(corpus, dim, n_planes, seed, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "bucket"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_nrm"),
+        "bucket",
     )
     scored = (
         qb.join(cb, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "cos",
+            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")

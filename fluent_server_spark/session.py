@@ -30,8 +30,13 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
+    # SPARK_GRAFT_MASTER overrides the master URL — used by the scaling
+    # harness to run local-cluster[N,cores,memMB] (separate executor
+    # JVMs with private heaps: the closest single-box proxy for "N vs 4N
+    # executors", vs local[...]'s threads sharing one heap)
+    master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

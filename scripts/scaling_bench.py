@@ -52,7 +52,9 @@ def calibrate(procs: int = 16, n: int = 8_000_000) -> float:
     return round(procs * n / (time.time() - t0) / 1e6, 1)
 
 
-def run_level(cpus: int, rows: int, convs: int, variant: str = "base") -> dict:
+def run_level(
+    cpus: int, rows: int, convs: int, variant: str = "base", master: str | None = None
+) -> dict:
     cmd = [
         sys.executable,
         os.path.join(REPO, "bench.py"),
@@ -65,6 +67,10 @@ def run_level(cpus: int, rows: int, convs: int, variant: str = "base") -> dict:
     env = dict(os.environ)
     if variant == "lean":
         env["SPARK_GRAFT_SINK_VARIANT"] = "lean"
+    if master:
+        # local-cluster[N,cores,memMB]: separate executor JVMs with
+        # private heaps — the closest single-box proxy for N executors
+        env["SPARK_GRAFT_MASTER"] = master
     out = subprocess.run(
         cmd, capture_output=True, text=True, cwd=REPO, timeout=1800, env=env
     )
@@ -82,7 +88,22 @@ def main() -> int:
     ap.add_argument("--variant", default="base", choices=["base", "lean"])
     ap.add_argument("--no-md", action="store_true",
                     help="print JSON only; do not rewrite BENCH/BASELINE.md")
+    ap.add_argument(
+        "--cluster-cores", type=int, default=0,
+        help="run levels as local-cluster[N/cores, cores, --cluster-mem] "
+        "instead of local[N]: separate executor JVMs (private heaps, real "
+        "task serialization + netty shuffle between processes) — the "
+        "closer proxy for 'N vs 4N executors'. N/--n must be divisible "
+        "by this.",
+    )
+    ap.add_argument("--cluster-mem", type=int, default=6144, help="MB per executor")
     args = ap.parse_args()
+
+    def master_for(cpus: int) -> str | None:
+        if not args.cluster_cores:
+            return None
+        n_exec = cpus // args.cluster_cores
+        return f"local-cluster[{n_exec},{args.cluster_cores},{args.cluster_mem}]"
 
     # INTERLEAVED pairs, each tagged with a raw-CPU calibration: host
     # steal drifts on minute scales, so (a) both levels of a pair run
@@ -97,14 +118,15 @@ def main() -> int:
         cal = calibrate()
         pair = {"calibration_mops": cal}
         for cpus in (args.n, args.n4):
-            r = run_level(cpus, args.rows, args.convs, args.variant)
+            m = master_for(cpus)
+            r = run_level(cpus, args.rows, args.convs, args.variant, master=m)
             runs[cpus].append(r["wall_sec"])
             pair[str(cpus)] = r
             if cpus not in best or r["wall_sec"] < best[cpus]["wall_sec"]:
                 best[cpus] = r
             print(
-                f"pair {i} (cal {cal}M ops/s) local[{cpus}]: {r['wall_sec']}s  "
-                f"{r['turns_per_sec']} turns/s",
+                f"pair {i} (cal {cal}M ops/s) {m or f'local[{cpus}]'}: "
+                f"{r['wall_sec']}s  {r['turns_per_sec']} turns/s",
                 file=sys.stderr,
             )
         pair["efficiency"] = round(
@@ -121,6 +143,8 @@ def main() -> int:
     result = {
         "variant": args.variant,
         "rows": args.rows,
+        "masters": [master_for(args.n) or f"local[{args.n}]",
+                    master_for(args.n4) or f"local[{args.n4}]"],
         "n_cores": args.n,
         "n4_cores": args.n4,
         "throughput_n": tn,
@@ -134,8 +158,9 @@ def main() -> int:
     }
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    suffix = "_cluster" if args.cluster_cores else ""
     with open(
-        os.path.join(REPO, "BENCH", f"scaling_{args.variant}.json"), "w"
+        os.path.join(REPO, "BENCH", f"scaling_{args.variant}{suffix}.json"), "w"
     ) as f:
         json.dump(result, f, indent=1)
     if args.no_md:

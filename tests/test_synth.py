@@ -41,3 +41,22 @@ def test_determinism():
     a = synth_turns_pandas(1000, n_convs=10)
     b = synth_turns_pandas(1000, n_convs=10)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_query_registry_holds_driver_cap_contract():
+    """The driver records CORRECTNESS rows for the FIRST 50 registered
+    queries (diagnosed round 3: r2 registered 56, rows appeared for
+    exactly positions 0-49). The registry must stay at exactly 50, with
+    the six entries the r2 run skipped registered first, and every
+    query must carry an oracle (no rows-only entries)."""
+    from fluent_server_spark.queries import all_queries
+
+    qs = all_queries()
+    names = list(qs)
+    assert len(names) == 50
+    previously_skipped = {
+        "ann_topk_lsh", "ann_topk_ivf", "embedding_neardup_lsh",
+        "label_centroid_stats", "media_decode_stats", "fluent_spool_counts",
+    }
+    assert previously_skipped <= set(names[:8])
+    assert all(spec.sql is not None for spec in qs.values())
