@@ -288,10 +288,16 @@ def minhash_lsh_pairs(
     None preserves full recall (and the driver oracle's semantics).
     """
     rows_per_band = n_perm // n_bands
-    sig = with_hashed_shingles(docs, text_col, n).withColumn(
-        "sig", minhash_signature(F.col("hg"), n_perm)
-    )
-    sig = sig.filter(F.size("hg") > 0).select(id_col, "hg", "sig")
+    # Drop gram-less docs BEFORE shingling, as IsNotNull on the scan:
+    # hg is empty iff text is NULL (split of any non-null text yields
+    # >= 1 gram, and array_distinct keeps >= 1), and a post-hoc
+    # `size(hg) > 0` filter is pushed below the projection where it
+    # re-evaluates the whole shingle+md5+fold chain in an interpreted
+    # Filter node — measured 7x the entire signature stage at sf0.1.
+    sig = with_hashed_shingles(
+        docs.filter(F.col(text_col).isNotNull()), text_col, n
+    ).withColumn("sig", minhash_signature(F.col("hg"), n_perm))
+    sig = sig.select(id_col, "hg", "sig")
     # sig feeds three consumers (band explode + both verify sides).
     # Measured at sf0.1: columnar persist() LOSES to recompute (encoding
     # the big hg/sig arrays costs more than re-running the codegen'd
@@ -358,11 +364,17 @@ def _minhash_sig(
     seed: int = 1337,
     materialize: bool = True,
 ) -> DataFrame:
-    """(id, hg, sig): hashed shingles + minhash signature (narrow)."""
-    sig = with_hashed_shingles(docs, text_col, n).withColumn(
-        "sig", minhash_signature(F.col("hg"), n_perm, seed)
-    )
-    sig = sig.filter(F.size("hg") > 0).select(id_col, "hg", "sig")
+    """(id, hg, sig): hashed shingles + minhash signature (narrow).
+
+    Gram-less docs are dropped as IsNotNull(text) on the scan — hg is
+    empty iff text is NULL, and a post-hoc `size(hg) > 0` filter gets
+    pushed below the projection where it re-evaluates the whole
+    shingle+md5+fold chain interpreted (measured 7x the signature
+    stage; see minhash_lsh_pairs)."""
+    sig = with_hashed_shingles(
+        docs.filter(F.col(text_col).isNotNull()), text_col, n
+    ).withColumn("sig", minhash_signature(F.col("hg"), n_perm, seed))
+    sig = sig.select(id_col, "hg", "sig")
     # typically two consumers (bands + verify): materialize once
     return sig.localCheckpoint(eager=True) if materialize else sig
 

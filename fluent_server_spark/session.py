@@ -50,6 +50,19 @@ def get_spark(
         # reference rejecting a bad frame without crashing the server
         # (reference: message/session.go:139-147 guards, not panics).
         .config("spark.sql.ansi.enabled", "false")
+        # InferFiltersFromGenerate inserts `size(e) > 0 AND isnotnull(e)`
+        # below every explode. For a STORED array column that prunes rows
+        # early and is cheap; for a COMPUTED array (every explode in this
+        # engine: shingles, LSH bands, chunk indices) the inferred filter
+        # re-evaluates the whole generator expression per row in an
+        # interpreted Filter node — measured 5x the entire stage on the
+        # shingle explode (0.65s projection -> 3.4s with the inferred
+        # filter at sf0.1). Excluding the rule changes no semantics:
+        # explode itself drops empty/null arrays.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
     )
