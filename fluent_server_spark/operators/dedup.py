@@ -126,46 +126,75 @@ def jaccard_join_prefix(
     `ngram_jaccard_pairs` (which remains the O(n^2) test baseline), so
     the plain pairwise SQL stays a valid oracle.
 
-    Global order = (corpus frequency asc, shingle asc): rare-first
+    Global order = (corpus frequency asc, hashed shingle asc): rare-first
     prefixes minimize candidate fan-out. Shuffles: one groupBy for
     frequencies, one join back, one candidate equi-join — all on keys,
     never all-pairs.
+
+    Round 3: everything past tokenization runs on 60-BIT HASHED shingles
+    (the minhash recipe): the candidate join shuffles 8-byte int keys
+    instead of gram strings, and the verify intersects int arrays — the
+    string-array verify was 80% of the query's wall at sf0.1 (18 s for
+    766k candidates). Jaccard over hashed grams equals jaccard over the
+    strings up to md5 collisions (~2^-60/pair); the generated oracle
+    replays the IDENTICAL hashed pipeline. Candidates additionally pass
+    the PPJoin POSITIONAL filter — with prefix tokens ranked by the
+    global order, a pair whose shared prefix token sits at ranks
+    (ra, rb) can overlap at most min(sa-ra, sb-rb)+1 grams, and
+    jaccard >= t needs overlap >= ceil(t/(1+t)*(sa+sb)); pairs whose
+    bound falls short are pruned before the distinct. Lossless by the
+    lemma (candidate pruning is not oracle-visible; only the final
+    pair set is).
     """
-    sh = with_shingles(docs, text_col, n).select(
-        F.col(id_col).alias("_id"), "shingles"
-    )
+    sh = with_hashed_shingles(
+        docs.filter(F.col(text_col).isNotNull()), text_col, n
+    ).select(F.col(id_col).alias("_id"), "hg")
     if materialize:
         sh = sh.localCheckpoint(eager=True)
-    toks = sh.select("_id", F.size("shingles").alias("sz"), F.explode("shingles").alias("gram"))
-    freq = toks.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("_id").orderBy("df", "gram")
+    toks = sh.select("_id", F.size("hg").alias("sz"), F.explode("hg").alias("h"))
+    freq = toks.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("_id").orderBy("df", "h")
     prefix_len = (
         F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
     ).cast("int")
     pref = (
-        toks.join(freq, "gram")
+        toks.join(freq, "h")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= prefix_len)
-        .select("_id", "sz", "gram")
+        .select("_id", "sz", "rn", "h")
     )
     # PPJoin length filter: jaccard >= t forces |A∩B| >= t*|A∪B| >= t*max
-    # size, and |A∩B| <= min size, so min >= t*max — pairs outside the
-    # size ratio can't qualify and are pruned BEFORE the distinct/verify
+    # size, and |A∩B| <= min size, so min >= t*max; positional filter:
+    # overlap needed = ceil(t/(1+t)*(sa+sb)), overlap possible from this
+    # shared token onward = min(sa-ra, sb-rb)+1
+    need = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a_sz") + F.col("b_sz"))
+    )
+    possible = (
+        F.least(F.col("a_sz") - F.col("a_rn"), F.col("b_sz") - F.col("b_rn")) + 1
+    )
     cand = (
-        pref.select(F.col("_id").alias("a_id"), F.col("sz").alias("a_sz"), "gram")
+        pref.select(
+            F.col("_id").alias("a_id"), F.col("sz").alias("a_sz"),
+            F.col("rn").alias("a_rn"), "h",
+        )
         .join(
-            pref.select(F.col("_id").alias("b_id"), F.col("sz").alias("b_sz"), "gram"),
-            "gram",
+            pref.select(
+                F.col("_id").alias("b_id"), F.col("sz").alias("b_sz"),
+                F.col("rn").alias("b_rn"), "h",
+            ),
+            "h",
         )
         .filter(
             (F.col("a_id") < F.col("b_id"))
             & (F.least("a_sz", "b_sz") >= threshold * F.greatest("a_sz", "b_sz"))
+            & (possible >= need)
         )
         .select("a_id", "b_id")
         .distinct()
     )
-    a_sh = sh.select(F.col("_id").alias("a_id"), F.col("shingles").alias("a_sh"))
-    b_sh = sh.select(F.col("_id").alias("b_id"), F.col("shingles").alias("b_sh"))
+    a_sh = sh.select(F.col("_id").alias("a_id"), F.col("hg").alias("a_sh"))
+    b_sh = sh.select(F.col("_id").alias("b_id"), F.col("hg").alias("b_sh"))
     verified = cand.join(a_sh, "a_id").join(b_sh, "b_id")
     inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
     union = F.size(F.array_union("a_sh", "b_sh")).cast("double")

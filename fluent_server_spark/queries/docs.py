@@ -136,10 +136,14 @@ JACCARD_THRESHOLD = 0.2
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs — prefix-filtered similarity
-    join (the scale path: equi-join on rare prefix shingles, 100% recall
-    by the prefix-filter lemma, exact verify). The O(n^2) crossJoin
-    variant survives only as the pytest baseline (`ngram_jaccard_pairs`
-    operator) — it is no longer a driver/bench query shape."""
+    join (the scale path: equi-join on rare prefix shingles + PPJoin
+    length/positional pruning, 100% recall by the prefix-filter lemma,
+    exact verify over 60-bit hashed shingles). The oracle below replays
+    the IDENTICAL hashed-gram jaccard as plain all-pairs SQL — candidate
+    pruning is not oracle-visible, only the final pair set is. The
+    O(n^2) crossJoin variant survives only as the pytest baseline
+    (`ngram_jaccard_pairs` operator) — it is no longer a driver/bench
+    query shape."""
     return jaccard_join_prefix(
         spread(load_table(spark, sf_dir, "documents")), threshold=JACCARD_THRESHOLD
     )
@@ -150,12 +154,16 @@ WITH sh AS (
   SELECT doc_id,
          -- list_slice clamps at the list end, matching Spark's
          -- F.slice/concat_ws partial shingle for docs with < n words
-         -- (w[i+2] indexing would yield NULL grams there and diverge)
+         -- (w[i+2] indexing would yield NULL grams there and diverge);
+         -- grams hash to the same 60-bit md5 ints the Spark side
+         -- verifies on (operators/dedup.py::hash_shingle)
          list_distinct(list_transform(
-           range(1, greatest(len(w) - 2, 1) + 1),
-           i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS grams
+           list_transform(
+             range(1, greatest(len(w) - 2, 1) + 1),
+             i -> array_to_string(list_slice(w, i, i + 2), ' ')),
+           s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS grams
   FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
-        FROM documents)
+        FROM documents WHERE text IS NOT NULL)
 )
 SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
