@@ -201,3 +201,69 @@ def test_stream_into_snapshots_appends_epochs(spark, turns_pdf, tmp_path):
     a = pipe.read_appended().groupBy("sink").count().collect()
     b = batch.read_sinks().groupBy("sink").count().collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_stream_neardup_against_index_matches_batch(spark, tmp_path):
+    """Streaming dedup-on-ingest == the batch operator, over the SAME
+    persisted corpus index: two ingest epochs of new docs are flagged
+    against the stored band table, and the union of epoch outputs equals
+    minhash_lsh_pairs_against over all new docs at once (bit for bit).
+    The corpus text is never readable by the stream (only the index)."""
+    from fluent_server_spark.operators.dedup import (
+        minhash_lsh_pairs_against,
+        write_minhash_index,
+    )
+    from fluent_server_spark.streaming.dedup_stream import (
+        read_flagged_pairs,
+        stream_neardup_against_index,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the crew ships "
+        "a spark pipeline that parses enriches routes and aggregates turns"
+    )
+    corpus = spark.createDataFrame(
+        [(i, base.replace("fox", f"fox{i}")) for i in range(10)]
+        + [(i, " ".join(f"c{i}_{j}" for j in range(30))) for i in range(10, 20)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    write_minhash_index(corpus, idx)
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    batch1 = spark.createDataFrame(
+        [(100, base.replace("fox", "fox3").replace("lazy", "sleepy")),
+         (101, " ".join(f"n1_{j}" for j in range(30)))],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [(200, base.replace("fox", "fox7")),
+         (201, " ".join(f"n2_{j}" for j in range(30)))],
+        "doc_id long, text string",
+    )
+    batch1.coalesce(1).write.parquet(str(src / "b1"))
+    batch2.coalesce(1).write.parquet(str(src / "b2"))
+
+    out, ckpt = str(tmp_path / "flagged"), str(tmp_path / "ckpt")
+    q = stream_neardup_against_index(
+        spark, f"{src}/*", idx, out, ckpt, max_files_per_trigger=1
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    key = lambda r: (r["new_id"], r["corpus_id"], r["jaccard"])  # noqa: E731
+    got = sorted(map(key, read_flagged_pairs(spark, out).collect()))
+    want = sorted(
+        map(
+            key,
+            minhash_lsh_pairs_against(
+                batch1.unionByName(batch2), corpus_index=idx
+            ).collect(),
+        )
+    )
+    assert got == want
+    assert len(got) >= 2  # both planted near-dups flagged
+    assert {r[0] for r in got} >= {100, 200}
