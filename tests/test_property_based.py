@@ -233,3 +233,37 @@ def test_chunk_documents_tiles_exactly(spark, text, chunk_chars, overlap):
         assert r["chunk_md5"] == hashlib.md5(piece.encode()).hexdigest()
         rebuilt = rebuilt[:start] + piece
     assert rebuilt == text
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=12),  # heavy ties on purpose
+        min_size=1,
+        max_size=80,
+    ),
+    st.integers(min_value=1, max_value=11),
+    st.integers(min_value=1, max_value=9),
+)
+def test_global_ntile_property_matches_window(spark, values, n, n_part):
+    """Distributed exact ntile == `ntile(n) OVER (ORDER BY ...)` for
+    arbitrary tied value lists, bucket counts (incl. n > rows), and
+    range-partition counts (incl. n_part > rows)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from fluent_server_spark.operators.ranking import with_global_ntile
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(values)], "k int, v double"
+    )
+    order = [F.desc("v"), F.asc("k")]
+    got = {
+        r["k"]: r["ntile"]
+        for r in with_global_ntile(df, n, order, num_partitions=n_part).collect()
+    }
+    w = Window.orderBy(F.desc("v"), F.asc("k"))
+    want = {
+        r["k"]: r["nt"] for r in df.withColumn("nt", F.ntile(n).over(w)).collect()
+    }
+    assert got == want
