@@ -1,0 +1,335 @@
+"""Live fluent-forward edge: wire protocol round-trips into spool
+segments the Spark source reads back — all four event modes, chunk
+acks, the shared-key handshake, and the UDP heartbeat (implemented from
+the public Forward Protocol v1 spec)."""
+
+from __future__ import annotations
+
+import asyncio
+import socket
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_server_spark.sources.fluentfile import (
+    _enc_int,
+    _enc_map_header,
+    _enc_str,
+    encode_entry,
+    encode_event_time,
+    write_spool_file,
+)
+from fluent_server_spark.sources.forward_server import (
+    ForwardClient,
+    ForwardServer,
+    _enc_array,
+    _enc_map,
+)
+
+T0 = 1_700_000_000
+
+
+def _message_frame(tag, ts, record, option=None):
+    items = [_enc_str(tag), _enc_int(ts) if isinstance(ts, int) else ts,
+             _enc_map(record)]
+    if option is not None:
+        items.append(_enc_map(option))
+    return _enc_array(items)
+
+
+def _forward_frame(tag, entries, option=None):
+    items = [_enc_str(tag), _enc_array([encode_entry(t, r) for t, r in entries])]
+    if option is not None:
+        items.append(_enc_map(option))
+    return _enc_array(items)
+
+
+def _packed_frame(tag, entries, option=None, compress=False):
+    import gzip
+
+    blob = b"".join(encode_entry(t, r) for t, r in entries)
+    if compress:
+        blob = gzip.compress(blob, mtime=0)
+    if len(blob) <= 0xFF:
+        binv = b"\xc4" + struct.pack("B", len(blob)) + blob
+    else:
+        binv = b"\xc5" + struct.pack(">H", len(blob)) + blob
+    items = [_enc_str(tag), binv]
+    if option is not None:
+        items.append(_enc_map(option))
+    return _enc_array(items)
+
+
+def _forward_frame_eventtime(tag, sec, nsec, record):
+    entry = _enc_array([encode_event_time(sec, nsec), _enc_map(record)])
+    return _enc_array([_enc_str(tag), _enc_array([entry])])
+
+
+def test_all_event_modes_land_in_spool_and_ack(spark, tmp_path):
+    async def scenario():
+        srv = ForwardServer(str(tmp_path / "spool"))
+        await srv.start()
+        try:
+            cli = ForwardClient("127.0.0.1", srv.port)
+            assert await cli.connect()
+            # Message mode
+            await cli.send_raw(_message_frame("app.web", T0, {"level": "INFO", "n": 1}))
+            # Forward mode (batch of 3) with chunk ack
+            ack = await cli.send_raw(
+                _forward_frame(
+                    "app.web",
+                    [(T0 + i, {"level": "WARN", "n": 10 + i}) for i in range(3)],
+                    option={"chunk": "c-1"},
+                ),
+                await_ack=True,
+            )
+            assert ack == {"ack": "c-1"}
+            # PackedForward with ack
+            ack2 = await cli.send_raw(
+                _packed_frame(
+                    "db.core",
+                    [(T0 + 50, {"level": "ERROR", "n": 5}),
+                     ((T0 + 51), {"level": "ERROR", "n": 6})],
+                    option={"chunk": "c-2", "size": 2},
+                ),
+                await_ack=True,
+            )
+            assert ack2 == {"ack": "c-2"}
+            # CompressedPackedForward
+            await cli.send_raw(
+                _packed_frame(
+                    "db.core", [(T0 + 60, {"level": "INFO", "n": 7})], compress=True
+                )
+            )
+            # EventTime nanoseconds round-trip
+            await cli.send_raw(
+                _forward_frame_eventtime("app.api", T0 + 70, 999_999_123,
+                                         {"level": "INFO", "n": 8})
+            )
+            await cli.close()
+            await asyncio.sleep(0.1)
+        finally:
+            await srv.stop()
+        return srv.stats
+
+    stats = asyncio.run(scenario())
+    assert stats["entries"] == 8 and stats["acks"] == 2
+
+    from fluent_server_spark.sources.fluentfile import read_spool_files
+
+    df = read_spool_files(spark, str(tmp_path / "spool" / "*"))
+    rows = df.collect()
+    assert len(rows) == 8
+    by_tag = {}
+    for r in rows:
+        by_tag.setdefault(r["tag"], []).append(r)
+    assert {t: len(v) for t, v in by_tag.items()} == {
+        "app.web": 4, "db.core": 3, "app.api": 1,
+    }
+    api = by_tag["app.api"][0]
+    assert api["ts_nsec"] == 999_999_123  # lossless EventTime carry
+    assert api["record"]["n"] == "8"
+
+
+def test_shared_key_handshake_accepts_and_rejects(spark, tmp_path):
+    async def scenario():
+        srv = ForwardServer(str(tmp_path / "spool"), shared_key="s3cret")
+        await srv.start()
+        try:
+            good = ForwardClient("127.0.0.1", srv.port, shared_key="s3cret")
+            assert await good.connect() is True
+            await good.send_raw(_message_frame("t.ok", T0, {"n": 1}))
+            await good.close()
+
+            bad = ForwardClient("127.0.0.1", srv.port, shared_key="wrong")
+            assert await bad.connect() is False
+            await bad.close()
+            await asyncio.sleep(0.1)
+        finally:
+            await srv.stop()
+        return srv.stats
+
+    stats = asyncio.run(scenario())
+    assert stats["entries"] == 1 and stats["rejected"] == 1
+
+
+def test_udp_heartbeat_echoes():
+    async def scenario():
+        srv = ForwardServer("/tmp/unused-spool", heartbeat=True)
+        await srv.start()
+        try:
+            port = srv.port
+            loop = asyncio.get_running_loop()
+
+            s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            s.setblocking(False)
+            s.sendto(b"\x00", ("127.0.0.1", port))
+            data = await asyncio.wait_for(loop.sock_recv(s, 16), timeout=5)
+            s.close()
+            return data
+        finally:
+            await srv.stop()
+
+    assert asyncio.run(scenario()) == b"\x00"
+
+
+def test_segment_rotation_keeps_tags_and_files_immutable(tmp_path):
+    async def scenario():
+        srv = ForwardServer(str(tmp_path / "spool"))
+        await srv.start()
+        try:
+            cli = ForwardClient("127.0.0.1", srv.port)
+            await cli.connect()
+            await cli.send_raw(_message_frame("a.b", T0, {"n": 1}),)
+            # ack barrier so the segment write precedes rotate()
+            await cli.send_raw(
+                _message_frame("a.b", T0 + 1, {"n": 2}, option={"chunk": "c"}),
+                await_ack=True,
+            )
+            sealed = srv.rotate()
+            await cli.send_raw(
+                _message_frame("a.b", T0 + 2, {"n": 3}, option={"chunk": "c2"}),
+                await_ack=True,
+            )
+            await cli.close()
+            return sealed
+        finally:
+            await srv.stop()
+
+    sealed = asyncio.run(scenario())
+    import os
+
+    root = tmp_path / "spool"
+    assert sorted(os.listdir(root)) == [f"{sealed:06d}", f"{sealed + 1:06d}"]
+    assert os.listdir(root / f"{sealed:06d}") == ["a.b.msgpack"]
+
+    from fluent_server_spark.sources.fluentfile import decode_spool_blob
+
+    with open(root / f"{sealed:06d}" / "a.b.msgpack", "rb") as f:
+        first = list(decode_spool_blob(f.read()))
+    with open(root / f"{sealed + 1:06d}" / "a.b.msgpack", "rb") as f:
+        second = list(decode_spool_blob(f.read()))
+    assert [r["n"] for _, _, r in first] == [1, 2]
+    assert [r["n"] for _, _, r in second] == [3]
+
+
+def test_tls_transport_round_trip(tmp_path):
+    """TLS face (reference server/tls.go): a self-signed server cert,
+    TLS-wrapped client, same protocol, events land in the spool."""
+    import ssl
+    import subprocess
+
+    cert, key = str(tmp_path / "c.pem"), str(tmp_path / "k.pem")
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-keyout", key,
+         "-out", cert, "-days", "1", "-nodes", "-subj", "/CN=localhost"],
+        check=True, capture_output=True,
+    )
+    srv_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    srv_ctx.load_cert_chain(cert, key)
+    cli_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+    cli_ctx.load_verify_locations(cert)
+    cli_ctx.check_hostname = False
+
+    async def scenario():
+        srv = ForwardServer(str(tmp_path / "spool"), ssl_context=srv_ctx)
+        await srv.start()
+        try:
+            cli = ForwardClient("127.0.0.1", srv.port, ssl_context=cli_ctx)
+            assert await cli.connect()
+            ack = await cli.send_raw(
+                _message_frame("tls.tag", T0, {"n": 1}, option={"chunk": "c"}),
+                await_ack=True,
+            )
+            assert ack == {"ack": "c"}
+            await cli.close()
+        finally:
+            await srv.stop()
+        return srv.stats
+
+    stats = asyncio.run(scenario())
+    assert stats["entries"] == 1 and stats["acks"] == 1
+
+
+def test_wire_to_engine_end_to_end(spark, tmp_path, turns_pdf):
+    """The full migration path a fluentd user runs: forward-protocol
+    client -> TCP edge daemon -> sealed spool segments -> the streaming
+    parse/enrich/route pipeline — routed per-sink counts equal routing
+    the same turns directly in batch."""
+    from fluent_server_spark.data.synth import ROUTE_RULE_ROWS, lookup_df
+    from fluent_server_spark.functions.parse import parse_turns
+    from fluent_server_spark.operators.enrich import enrich_turns
+    from fluent_server_spark.operators.route import route_turns, rules_from_rows
+    from fluent_server_spark.streaming.stream_pipeline import stream_spool_routed
+
+    sample = turns_pdf.head(300)
+
+    async def scenario():
+        srv = ForwardServer(str(tmp_path / "spool"))
+        await srv.start()
+        try:
+            cli = ForwardClient("127.0.0.1", srv.port)
+            await cli.connect()
+            # each conversation turn travels as a forward-mode entry
+            entries = [
+                (
+                    int(row.ts.timestamp()),
+                    {
+                        "conv_id": row.conv_id,
+                        "turn_idx": int(row.turn_idx),
+                        "role": row.role,
+                        "text": row.text,
+                        "tool": row.tool,
+                    },
+                )
+                for row in sample.itertuples()
+            ]
+            half = len(entries) // 2
+            await cli.send_raw(
+                _forward_frame("transcripts", entries[:half], option={"chunk": "a"}),
+                await_ack=True,
+            )
+            srv.rotate()  # sealed segment -> visible to the file stream
+            await cli.send_raw(
+                _forward_frame("transcripts", entries[half:], option={"chunk": "b"}),
+                await_ack=True,
+            )
+            srv.rotate()
+            await cli.close()
+        finally:
+            await srv.stop()
+
+    asyncio.run(scenario())
+
+    routed = stream_spool_routed(spark, str(tmp_path / "spool" / "*"))
+    q = (
+        routed.select("conv_id", "turn_idx", "sink")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wire_e2e")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["sink"],): r["n"]
+        for r in spark.sql(
+            "SELECT sink, count(*) AS n FROM wire_e2e GROUP BY sink"
+        ).collect()
+    }
+
+    direct = route_turns(
+        enrich_turns(
+            parse_turns(spark.createDataFrame(sample)), lookup_df(spark)
+        ),
+        rules_from_rows(ROUTE_RULE_ROWS),
+    )
+    want = {
+        (r["sink"],): r["n"]
+        for r in direct.groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want and sum(got.values()) == len(sample)
