@@ -9,6 +9,15 @@
 On a cluster the config mirrors the reference's env-var config surface
 (reference: main.go:21-58) as explicit flags. Re-running with the same
 --run-id and --checkpoint resumes from the last acked group.
+
+Edge-daemon mode (no Spark — the reference's main.go server face;
+real fluentd/fluent-bit agents point here):
+
+    python -m fluent_server_spark --forward-server /var/spool/fss \
+        --port 24224 --shared-key s3cret --heartbeat --rotate-seconds 60
+
+lands per-tag spool segments that the Spark side batch-reads
+(sources/fluentfile.py) or stream-tails (stream_spool_routed).
 """
 
 from __future__ import annotations
@@ -22,19 +31,78 @@ from fluent_server_spark.session import get_spark
 from fluent_server_spark.sources import load_turns
 
 
+def _run_forward_server(args) -> int:
+    """The ingest-edge daemon loop: serve, rotate segments on a timer,
+    exit after --max-seconds (0 = run until interrupted)."""
+    import asyncio
+
+    from fluent_server_spark.sources.forward_server import ForwardServer
+
+    async def serve() -> None:
+        srv = ForwardServer(
+            args.forward_server,
+            host=args.host,
+            port=args.port,
+            shared_key=args.shared_key,
+            heartbeat=args.heartbeat,
+        )
+        await srv.start()
+        print(
+            json.dumps({"forward_server": {"host": args.host, "port": srv.port}}),
+            flush=True,
+        )
+        loop = asyncio.get_running_loop()
+        start = last_rotate = loop.time()
+        try:
+            while True:
+                await asyncio.sleep(0.2)
+                now = loop.time()
+                if now - last_rotate >= args.rotate_seconds:
+                    srv.rotate()
+                    last_rotate = now
+                if args.max_seconds and now - start >= args.max_seconds:
+                    break  # bounded-run mode for tests/smoke
+        finally:
+            await srv.stop()
+            print(json.dumps({"stats": srv.stats}), flush=True)
+
+    try:
+        asyncio.run(serve())
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="fluent_server_spark")
     ap.add_argument("--source", default="parquet", help="parquet|csv|json|iceberg|synthetic")
-    ap.add_argument("--input", required=True, help="table/dir location, or N[:convs] for synthetic")
-    ap.add_argument("--sinks", required=True)
-    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--input", default=None, help="table/dir location, or N[:convs] for synthetic")
+    ap.add_argument("--sinks", default=None)
+    ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--groups", type=int, default=1)
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--salt", type=int, default=8)
     ap.add_argument("--parse-impl", default="native", choices=["native", "pandas"])
     ap.add_argument("--cpus", type=int, default=None, help="local mode only")
+    # edge-daemon mode (no Spark)
+    ap.add_argument("--forward-server", metavar="SPOOL_DIR", default=None,
+                    help="run the fluent-forward TCP edge daemon writing "
+                         "spool segments under SPOOL_DIR (no Spark job)")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=24224)
+    ap.add_argument("--shared-key", default=None)
+    ap.add_argument("--heartbeat", action="store_true")
+    ap.add_argument("--rotate-seconds", type=float, default=60.0)
+    ap.add_argument("--max-seconds", type=float, default=0.0,
+                    help="edge daemon: exit after this many seconds (0 = forever)")
     args = ap.parse_args(argv)
+
+    if args.forward_server:
+        return _run_forward_server(args)
+    missing = [f for f in ("input", "sinks", "checkpoint") if not getattr(args, f)]
+    if missing:
+        ap.error(f"the following arguments are required: {', '.join('--' + m for m in missing)}")
 
     spark = get_spark("fluent_server_spark", cpus=args.cpus)
     turns = load_turns(spark, args.source, args.input)

@@ -333,3 +333,43 @@ def test_wire_to_engine_end_to_end(spark, tmp_path, turns_pdf):
         for r in direct.groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want and sum(got.values()) == len(sample)
+
+
+def test_cli_forward_server_mode(tmp_path):
+    """`python -m fluent_server_spark --forward-server DIR --max-seconds N`
+    runs the daemon (no Spark), accepts events, and exits cleanly."""
+    import json
+    import subprocess
+    import sys
+    import time
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "fluent_server_spark",
+         "--forward-server", str(tmp_path / "spool"),
+         "--host", "127.0.0.1", "--port", "0", "--max-seconds", "4"],
+        stdout=subprocess.PIPE, text=True, cwd="/root/repo",
+    )
+    try:
+        banner = json.loads(proc.stdout.readline())
+        port = banner["forward_server"]["port"]
+
+        async def send():
+            cli = ForwardClient("127.0.0.1", port)
+            await cli.connect()
+            ack = await cli.send_raw(
+                _message_frame("cli.tag", T0, {"n": 1}, option={"chunk": "c"}),
+                await_ack=True,
+            )
+            await cli.close()
+            return ack
+
+        assert asyncio.run(send()) == {"ack": "c"}
+        out, _ = proc.communicate(timeout=30)
+        stats = json.loads(out.strip().splitlines()[-1])["stats"]
+        assert stats["entries"] == 1
+        assert proc.returncode == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    spools = list((tmp_path / "spool").rglob("cli.tag.msgpack"))
+    assert len(spools) == 1
