@@ -109,6 +109,13 @@ def funnel_depth_scan(
     ts_type = {f.name: f.dataType.simpleString() for f in events.schema.fields}[
         ts_col
     ]
+    if not ts_type.startswith("timestamp"):
+        # a numeric ts_col would turn the sentinel cast into NULL, making
+        # the fold condition NULL and every depth silently 0 — fail loud
+        raise TypeError(
+            f"funnel_depth_scan requires a timestamp ts_col; {ts_col!r} is "
+            f"{ts_type} (cast epoch columns with to_timestamp first)"
+        )
     init = F.struct(
         F.lit(0).alias("d"),
         F.lit("1900-01-01 00:00:00").cast(ts_type).alias("t"),

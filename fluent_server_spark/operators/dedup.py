@@ -494,6 +494,7 @@ def minhash_lsh_pairs_against(
     n_bands: int = 16,
     threshold: float = 0.2,
     corpus_index: str | None = None,
+    seed: int = 1337,
 ) -> DataFrame:
     """INCREMENTAL near-dup: new batch vs an existing corpus — the shape
     every production ingest actually runs (today's crawl against the
@@ -512,12 +513,21 @@ def minhash_lsh_pairs_against(
     if (corpus is None) == (corpus_index is None):
         raise ValueError("pass exactly one of corpus / corpus_index")
 
-    new_sig = _minhash_sig(new_docs, id_col, text_col, n, n_perm)
+    new_sig = _minhash_sig(new_docs, id_col, text_col, n, n_perm, seed)
     if corpus_index is not None:
         corp_bands, corp_sh, manifest = read_minhash_index(
             new_docs.sparkSession, corpus_index
         )
-        want = {"id_col": id_col, "n": n, "n_perm": n_perm, "n_bands": n_bands}
+        # seed is part of the signature function: an index built with a
+        # different seed would bucket on incompatible minhashes and the
+        # join would silently return near-zero recall — validate it too.
+        want = {
+            "id_col": id_col,
+            "n": n,
+            "n_perm": n_perm,
+            "n_bands": n_bands,
+            "seed": seed,
+        }
         got = {k: manifest.get(k) for k in want}
         if got != want:
             raise ValueError(
@@ -527,7 +537,7 @@ def minhash_lsh_pairs_against(
             F.col(id_col).alias("corpus_id"), F.col("hg").alias("b_sh")
         )
     else:
-        corp_sig = _minhash_sig(corpus, id_col, text_col, n, n_perm)
+        corp_sig = _minhash_sig(corpus, id_col, text_col, n, n_perm, seed)
         corp_bands = _band_table(corp_sig, id_col, n_perm, n_bands)
         corp_sh = corp_sig.select(
             F.col(id_col).alias("corpus_id"), F.col("hg").alias("b_sh")

@@ -48,6 +48,7 @@ from __future__ import annotations
 import asyncio
 import gzip as _gzip
 import hashlib
+import hmac
 import os
 import secrets
 import struct
@@ -69,8 +70,11 @@ def _try_decode(buf: bytes):
         return None
     try:
         value, consumed = _decode_value(buf, 0)
-    except (IndexError, struct.error):
-        return None  # truncated frame — wait for more bytes
+    except (IndexError, struct.error, UnicodeDecodeError):
+        # truncated frame — wait for more bytes. UnicodeDecodeError covers
+        # a read boundary landing mid multi-byte UTF-8 character inside a
+        # str field: the partial slice is undecodable until more arrives.
+        return None
     if consumed > len(buf):
         # a trailing str/bin length field pointed past the buffer: the
         # slice silently came up short, so the frame is incomplete
@@ -184,7 +188,11 @@ class ForwardServer:
         self.stats["entries"] += n_entries
 
     # ------------------------------------------------------------ handshake
-    async def _handshake(self, reader, writer) -> bool:
+    async def _handshake(self, reader, writer) -> tuple[bool, bytes]:
+        """Run the HELO/PING/PONG exchange. Returns (ok, leftover) where
+        `leftover` is any bytes the client pipelined behind its PING frame
+        (event frames sent without waiting for PONG) — the session loop
+        must seed its buffer with them rather than drop them."""
         helo = _enc_array(
             [
                 _enc_str("HELO"),
@@ -204,7 +212,7 @@ class ForwardServer:
                 break
             chunk = await reader.read(65536)
             if not chunk:
-                return False
+                return False, b""
             buf += chunk
         ok, reason = False, ""
         if (
@@ -215,7 +223,7 @@ class ForwardServer:
             _, hostname, salt, digest = ping[:4]
             salt_b = salt if isinstance(salt, bytes) else str(salt).encode()
             want = _sha512_hex(salt_b, hostname, self._nonce, self.shared_key)
-            ok = digest == want
+            ok = isinstance(digest, str) and hmac.compare_digest(digest, want)
             reason = "" if ok else "shared_key digest mismatch"
         else:
             reason = "malformed PING"
@@ -235,21 +243,21 @@ class ForwardServer:
         await writer.drain()
         if not ok:
             self.stats["rejected"] += 1
-        return ok
+        return ok, bytes(buf)
 
     # ------------------------------------------------------------- sessions
     async def _handle(self, reader, writer) -> None:
         self.stats["connections"] += 1
         try:
-            if self.shared_key is not None:
-                if not await self._handshake(reader, writer):
-                    return
             buf = bytearray()
+            if self.shared_key is not None:
+                ok, leftover = await self._handshake(reader, writer)
+                if not ok:
+                    return
+                buf += leftover
             while True:
-                chunk = await reader.read(65536)
-                if not chunk:
-                    break
-                buf += chunk
+                # drain complete frames first — the handshake may have
+                # seeded the buffer with pipelined event frames
                 while True:
                     got = _try_decode(bytes(buf))
                     if got is None:
@@ -257,6 +265,10 @@ class ForwardServer:
                     frame, consumed = got
                     del buf[:consumed]
                     await self._dispatch(frame, writer)
+                chunk = await reader.read(65536)
+                if not chunk:
+                    break
+                buf += chunk
         finally:
             writer.close()
             try:

@@ -50,6 +50,15 @@ def _oracle(lpdf, rpdf):
     )
 
 
+def _norm_nulls(pdf):
+    # Spark's toPandas yields None, merge_asof yields NaN — pandas is
+    # deprecating treating those as equal in assert_frame_equal, so pin
+    # both representations to None before comparing.
+    return pdf.assign(
+        version=pdf["version"].astype(object).where(pdf["version"].notna(), None)
+    )
+
+
 def test_bucketed_asof_matches_merge_asof(spark, asof_data):
     left, right, lpdf, rpdf = asof_data
     want = _oracle(lpdf, rpdf)
@@ -59,7 +68,7 @@ def test_bucketed_asof_matches_merge_asof(spark, asof_data):
         .sort_values(["conv_id", "turn_idx"])
         .reset_index(drop=True)
     )
-    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    pd.testing.assert_frame_equal(_norm_nulls(got), _norm_nulls(want), check_dtype=False)
 
 
 def test_pandas_asof_matches_oracle(spark, asof_data):
@@ -71,7 +80,7 @@ def test_pandas_asof_matches_oracle(spark, asof_data):
         .sort_values(["conv_id", "turn_idx"])
         .reset_index(drop=True)
     )
-    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    pd.testing.assert_frame_equal(_norm_nulls(got), _norm_nulls(want), check_dtype=False)
 
 def test_sparse_versions_long_left_span(spark):
     """A version far before the left span must still forward-fill, and a

@@ -296,5 +296,28 @@ def test_persisted_index_rejects_mismatched_params(spark, corpus, tmp_path):
     write_minhash_index(corpus, idx, n=3)
     with _pytest.raises(ValueError, match="do not match"):
         minhash_lsh_pairs_against(corpus.limit(5), corpus_index=idx, n=5)
+    # seed is part of the signature: an index built with a different seed
+    # would silently produce mismatched buckets (near-zero recall), so the
+    # manifest check must cover it too
+    with _pytest.raises(ValueError, match="do not match"):
+        minhash_lsh_pairs_against(corpus.limit(5), corpus_index=idx, seed=7)
     with _pytest.raises(ValueError, match="exactly one"):
         minhash_lsh_pairs_against(corpus.limit(5))
+
+
+def test_persisted_index_custom_seed_round_trips(spark, corpus, tmp_path):
+    from fluent_server_spark.operators.dedup import (
+        minhash_lsh_pairs_against,
+        write_minhash_index,
+    )
+
+    idx = str(tmp_path / "idx_seeded")
+    write_minhash_index(corpus, idx, seed=42)
+    direct = minhash_lsh_pairs_against(
+        corpus.limit(10), corpus=corpus, threshold=0.2, seed=42
+    ).collect()
+    stored = minhash_lsh_pairs_against(
+        corpus.limit(10), corpus_index=idx, threshold=0.2, seed=42
+    ).collect()
+    key = lambda r: (r["new_id"], r["corpus_id"])  # noqa: E731
+    assert sorted(map(key, stored)) == sorted(map(key, direct))

@@ -154,6 +154,99 @@ def test_shared_key_handshake_accepts_and_rejects(spark, tmp_path):
     assert stats["entries"] == 1 and stats["rejected"] == 1
 
 
+def test_non_ascii_frame_split_mid_utf8_char(spark, tmp_path):
+    """A frame whose multi-byte UTF-8 text straddles the read boundary
+    must be treated as incomplete (wait for more bytes), not kill the
+    connection with UnicodeDecodeError."""
+
+    async def scenario():
+        srv = ForwardServer(str(tmp_path / "spool"))
+        await srv.start()
+        try:
+            cli = ForwardClient("127.0.0.1", srv.port)
+            assert await cli.connect()
+            frame = _message_frame("app.i18n", T0, {"msg": "héllo wörld — ünïcode"})
+            # split INSIDE the 2-byte 'é' (0xC3 0xA9) so the first read's
+            # partial slice is undecodable
+            cut = frame.index(b"\xc3\xa9") + 1
+            cli._w.write(frame[:cut])
+            await cli._w.drain()
+            await asyncio.sleep(0.15)  # force a separate server read
+            await cli.send_raw(frame[cut:])
+            # follow with an acked frame to prove the session survived
+            ack = await cli.send_raw(
+                _message_frame("app.i18n", T0 + 1, {"n": 2}, option={"chunk": "c9"}),
+                await_ack=True,
+            )
+            assert ack == {"ack": "c9"}
+            await cli.close()
+            await asyncio.sleep(0.1)
+        finally:
+            await srv.stop()
+        return srv.stats
+
+    stats = asyncio.run(scenario())
+    assert stats["entries"] == 2
+
+    from fluent_server_spark.sources.fluentfile import read_spool_files
+
+    rows = read_spool_files(spark, str(tmp_path / "spool" / "*")).collect()
+    recs = {r["record"].get("msg") for r in rows}
+    assert "héllo wörld — ünïcode" in recs
+
+
+def test_events_pipelined_behind_ping_not_dropped(spark, tmp_path):
+    """A client that pipelines event frames behind PING without waiting
+    for PONG must not lose them (the handshake's read may pull them into
+    its buffer; the session loop has to inherit the leftover)."""
+    from fluent_server_spark.sources.forward_server import _sha512_hex, _try_decode
+
+    async def scenario():
+        srv = ForwardServer(str(tmp_path / "spool"), shared_key="s3cret")
+        await srv.start()
+        try:
+            r, w = await asyncio.open_connection("127.0.0.1", srv.port)
+            buf = bytearray()
+            while True:
+                got = _try_decode(bytes(buf))
+                if got is not None:
+                    helo, consumed = got
+                    del buf[:consumed]
+                    break
+                buf += await r.read(65536)
+            assert helo[0] == "HELO"
+            import secrets as _secrets
+
+            salt = _secrets.token_bytes(16)
+            digest = _sha512_hex(salt, "pipeliner", helo[1]["nonce"], "s3cret")
+            ping = _enc_array(
+                [
+                    _enc_str("PING"),
+                    _enc_str("pipeliner"),
+                    b"\xc4" + struct.pack("B", len(salt)) + salt,
+                    _enc_str(digest),
+                    _enc_str(""),
+                    _enc_str(""),
+                ]
+            )
+            # PING and two event frames in ONE write — they arrive in the
+            # same server read, so the handshake decodes PING and is left
+            # holding the events
+            w.write(ping + _message_frame("pipe.a", T0, {"n": 1})
+                    + _message_frame("pipe.a", T0 + 1, {"n": 2}))
+            await w.drain()
+            w.write_eof()
+            await r.read()  # PONG (and connection close)
+            w.close()
+            await asyncio.sleep(0.2)
+        finally:
+            await srv.stop()
+        return srv.stats
+
+    stats = asyncio.run(scenario())
+    assert stats["entries"] == 2, f"pipelined events dropped: {stats}"
+
+
 def test_udp_heartbeat_echoes():
     async def scenario():
         srv = ForwardServer("/tmp/unused-spool", heartbeat=True)

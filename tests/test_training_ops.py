@@ -238,3 +238,17 @@ def test_funnel_scan_same_timestamp_not_double_counted(spark):
     got = funnel_depth_scan(ev, ["view", "click"]).first()["funnel_depth"]
     want = funnel_depth(ev, ["view", "click"]).first()["funnel_depth"]
     assert got == want == 2  # the 00:00:05 click counts, the 00:00:00 one doesn't
+
+
+def test_funnel_scan_rejects_numeric_ts(spark):
+    """A numeric ts column would NULL the sentinel cast and silently make
+    every depth 0 — the operator must fail loud instead."""
+    import pytest as _pytest
+
+    from fluent_server_spark.operators.aggregates import funnel_depth_scan
+
+    ev = spark.createDataFrame(
+        [("u", 1_700_000_000, "view")], "user_id string, ts long, event_type string"
+    )
+    with _pytest.raises(TypeError, match="timestamp"):
+        funnel_depth_scan(ev, ["view", "click"])
