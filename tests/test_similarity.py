@@ -99,3 +99,42 @@ def test_lsh_bucket_is_narrow_plan(spark, vec_df):
     bucketed = with_lsh_bucket(vec_df, dim=DIM, n_planes=4)
     plan = bucketed._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_band_table_matches_literal_buckets(spark, vec_df):
+    """The broadcast-planes band table must assign bit-identical buckets
+    to the literal-plane projection it replaced (same per-plane dot fold;
+    integer bit assembly is order-free)."""
+    from fluent_server_spark.operators.similarity import lsh_band_table
+
+    lit_rows = set()
+    wb = vec_df
+    for t in range(3):
+        wb = with_lsh_bucket(wb, dim=DIM, n_planes=4, seed=42 + 1000 * t,
+                             out=f"_b{t}")
+    for r in wb.collect():
+        for t in range(3):
+            lit_rows.add((r["vec_id"], t, r[f"_b{t}"]))
+    bt = lsh_band_table(vec_df, dim=DIM, n_planes=4, n_tables=3, seed=42)
+    got = {(r["vec_id"], r["tbl"], r["bkt"]) for r in bt.collect()}
+    assert got == lit_rows
+
+
+def test_neardup_lsh_arrow_verify_bit_equal_to_fold(spark, vec_df):
+    """The Arrow sequential-order verify kernel must produce the exact
+    rows (ids AND rounded cosines) of the pure-JVM fold path."""
+    from fluent_server_spark.operators.similarity import cosine_neardup_lsh
+
+    fold = sorted(
+        tuple(r)
+        for r in cosine_neardup_lsh(
+            vec_df, dim=DIM, threshold=0.9, verify_impl="fold"
+        ).collect()
+    )
+    arrow = sorted(
+        tuple(r)
+        for r in cosine_neardup_lsh(
+            vec_df, dim=DIM, threshold=0.9, verify_impl="arrow"
+        ).collect()
+    )
+    assert arrow == fold and len(fold) > 0
