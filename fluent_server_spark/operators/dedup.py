@@ -206,6 +206,88 @@ def jaccard_join_prefix(
     )
 
 
+def jaccard_join_count(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join via the INVERTED-INDEX COUNT
+    kernel (Sarawagi & Kirpal SIGMOD'04; the reduce-side verify of
+    Vernica VLDB'10): explode distinct hashed shingles, self-join on the
+    token, and COUNT shared tokens per pair — overlap o gives
+    jaccard = o / (|A| + |B| - o) with no array materialization, no
+    array_intersect verify, and no candidate distinct (the groupBy IS
+    the dedup). Output is identical to jaccard_join_prefix /
+    ngram_jaccard_pairs: any pair with jaccard > 0 shares a token, so
+    every qualifying pair is counted, and o/(sa+sb-o) divides the same
+    integers as size(intersect)/size(union).
+
+    THRESHOLD-AWARE SCHEDULING (the r3 'adaptive prefix' lever): at
+    loose thresholds the prefix filter keeps ~(1-t) of each doc's tokens
+    — at t=0.2 that is 80%, so prefix-join candidates approach the full
+    token join while still paying the per-pair array verify (measured
+    9.5 s at sf0.1). This kernel pays the FULL token join — only ~25%
+    more join rows there (1.27M vs ~1.0M) — and replaces verify+distinct
+    with one hash aggregation (measured 4x faster at t=0.2). At tight
+    thresholds the inequality flips: prefixes shrink to (1-t)|A|+1
+    tokens while this kernel's join stays full-size, so
+    jaccard_join_auto routes on the threshold. Skew note: cost is
+    sum(df^2) over token document-frequencies; a stop-gram-heavy corpus
+    wants the same df-cap/salting insurance as the LSH bucket cap
+    (measured max df 25 on the driver corpus — no cap needed there).
+    """
+    sh = with_hashed_shingles(
+        docs.filter(F.col(text_col).isNotNull()), text_col, n
+    ).select(F.col(id_col).alias("_id"), F.size("hg").alias("sz"), "hg")
+    toks = sh.select("_id", "sz", F.explode("hg").alias("h"))
+    a = toks.select(
+        F.col("_id").alias("a_id"), F.col("sz").alias("a_sz"), "h"
+    )
+    b = toks.select(
+        F.col("_id").alias("b_id"), F.col("sz").alias("b_sz"), "h"
+    )
+    ov = (
+        a.join(b, "h")
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            # PPJoin length filter, applied per token row before the agg
+            & (F.least("a_sz", "b_sz") >= threshold * F.greatest("a_sz", "b_sz"))
+        )
+        .groupBy("a_id", "b_id", "a_sz", "b_sz")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    jac = F.col("o").cast("double") / (
+        (F.col("a_sz") + F.col("b_sz") - F.col("o")).cast("double")
+    )
+    return (
+        ov.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def jaccard_join_auto(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+    crossover: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard join with threshold-aware kernel choice: the
+    overlap-count kernel below `crossover` (loose thresholds — long
+    prefixes make prefix-filtering pay full join cost PLUS the array
+    verify), the prefix-filter kernel at or above it (tight thresholds —
+    short prefixes collapse the candidate join). Both are exact and
+    output-identical (pinned against the crossJoin baseline in
+    tests/test_dedup.py), so the choice is pure physical planning."""
+    if threshold < crossover:
+        return jaccard_join_count(docs, id_col, text_col, n, threshold)
+    return jaccard_join_prefix(docs, id_col, text_col, n, threshold)
+
+
 # ------------------------------------------------------------- MinHash LSH
 
 _MERSENNE = (1 << 31) - 1  # 31-bit field: a*h + b stays < 2^62, so the
@@ -658,19 +740,88 @@ def connected_components(
 # ----------------------------------------------------------------- SimHash
 
 
+def simhash_signature_native(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, sim): Charikar SimHash computed ENTIRELY in Catalyst — the
+    native twin of functions/text.py::simhash_udf (pinned bit-equal in
+    tests/test_dedup.py), so the signature stage needs no Python worker.
+
+    Shape: explode whitespace words, 64-bit word hash from the first 16
+    md5 hex chars (conv base-16, decimal carry through the two's-
+    complement reinterpretation so the UNSIGNED md5 value lands on the
+    same signed long the pandas UDF emits), then ONE groupBy with 64
+    SUM(CASE sign-bit) accumulators and a sign-threshold reassembly —
+    bit 63 folds in as long-min to avoid literal overflow, exactly like
+    the DuckDB oracle in queries/docs.py::_sql_simhash_neardup. Wordless
+    docs (NULL/empty text) left-join back as signature 0, matching
+    simhash64('') == 0. The shuffle key is id; the agg is map-side
+    partial like any SUM."""
+    words = docs.select(
+        id_col,
+        F.explode(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+        ).alias("wrd"),
+    ).filter(F.col("wrd") != "")
+    h_dec = F.conv(F.substring(F.md5("wrd"), 1, 16), 16, 10).cast("decimal(20,0)")
+    # 2^63 / 2^64 exceed long literals — carry them as decimal strings
+    two63 = F.lit("9223372036854775808").cast("decimal(20,0)")
+    two64 = F.lit("18446744073709551616").cast("decimal(21,0)")
+    h = F.when(h_dec >= two63, h_dec - two64).otherwise(h_dec).cast("long")
+    wh = words.select(id_col, h.alias("h"))
+    accs = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"a{b}")
+        for b in range(64)
+    ]
+    acc = wh.groupBy(id_col).agg(*accs)
+    sim = F.when(F.col("a63") > 0, F.lit(-(2**63)).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+    for b in range(63):
+        sim = sim + F.when(F.col(f"a{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    sig = acc.select(id_col, sim.alias("sim"))
+    return docs.select(id_col).join(sig, id_col, "left").select(
+        id_col, F.coalesce("sim", F.lit(0).cast("long")).alias("sim")
+    )
+
+
 def simhash_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    impl: str = "pandas",
 ) -> DataFrame:
     """SimHash near-dup pairs: 4x16-bit banded signature join, verify
     hamming <= max_hamming. By pigeonhole, any pair within hamming<=3 of
     a 64-bit signature agrees exactly on at least one of 4 bands, so the
-    banded equi-join has 100% recall at the signature level."""
-    sig = docs.select(
-        F.col(id_col), simhash_udf(F.col(text_col)).alias("sim")
-    )
+    banded equi-join has 100% recall at the signature level.
+
+    Round-4 finding: the query's r3 cost (4.0 s at sf0.1) was the
+    signature stage computed TWICE — both self-join sides re-derived
+    the un-materialized sig relation. The localCheckpoint below fixes
+    that (1.29 s). A fully-native Catalyst signature
+    (simhash_signature_native, `impl='native'`) was then built as the
+    planned next lever and measured SLOWER than the checkpointed Arrow
+    UDF at sf0.1 (2.79 s vs 1.29 s — per-word md5+conv+64 SUM(CASE)
+    against one vectorized numpy pass over the vocabulary); it stays as
+    the bit-equal twin (pinned in tests) for plans that must avoid
+    Python workers."""
+    if impl == "native":
+        sig = simhash_signature_native(docs, id_col, text_col)
+    else:
+        sig = docs.select(
+            F.col(id_col), simhash_udf(F.col(text_col)).alias("sim")
+        )
+    # two consumers (left/right of the banded self-join): materialize the
+    # skinny (id, sim) relation so signatures are computed once
+    sig = sig.localCheckpoint(eager=True)
     bands = sig.select(
         id_col,
         "sim",

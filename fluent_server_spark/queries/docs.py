@@ -24,7 +24,7 @@ from fluent_server_spark.functions.text import (
 from fluent_server_spark.operators.dedup import (
     _MERSENNE,
     exact_dedup,
-    jaccard_join_prefix,
+    jaccard_join_auto,
     minhash_coeffs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -135,16 +135,18 @@ JACCARD_THRESHOLD = 0.2
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs — prefix-filtered similarity
-    join (the scale path: equi-join on rare prefix shingles + PPJoin
-    length/positional pruning, 100% recall by the prefix-filter lemma,
-    exact verify over 60-bit hashed shingles). The oracle below replays
-    the IDENTICAL hashed-gram jaccard as plain all-pairs SQL — candidate
-    pruning is not oracle-visible, only the final pair set is. The
-    O(n^2) crossJoin variant survives only as the pytest baseline
+    """Exact 3-gram Jaccard near-dup pairs — THRESHOLD-AWARE similarity
+    join (operators/dedup.py::jaccard_join_auto): at this loose t=0.2
+    the overlap-COUNT kernel (inverted-index self-join + one hash agg,
+    Sarawagi-Kirpal/Vernica) replaces prefix-filter + array verify,
+    measured 4x at sf0.1; tight thresholds route to the prefix kernel.
+    Both are exact, so the oracle below — the IDENTICAL hashed-gram
+    jaccard as plain all-pairs SQL — is valid for either: kernel choice
+    is not oracle-visible, only the final pair set is. The O(n^2)
+    crossJoin variant survives only as the pytest baseline
     (`ngram_jaccard_pairs` operator) — it is no longer a driver/bench
     query shape."""
-    return jaccard_join_prefix(
+    return jaccard_join_auto(
         spread(load_table(spark, sf_dir, "documents")), threshold=JACCARD_THRESHOLD
     )
 

@@ -110,6 +110,37 @@ def test_prefix_join_equals_crossjoin_baseline(spark, corpus):
     assert (100, 101) in pref and pref[(100, 101)] == 1.0
 
 
+def test_count_kernel_equals_crossjoin_baseline(spark, corpus):
+    """The overlap-count kernel (loose-threshold scale path) must return
+    the EXACT same pair set + values as the O(n^2) baseline, and
+    jaccard_join_auto must route to an exact kernel at every threshold."""
+    from fluent_server_spark.operators.dedup import (
+        jaccard_join_auto,
+        jaccard_join_count,
+    )
+
+    shorts = spark.createDataFrame(
+        [(100, "hi"), (101, "hi"), (102, "one two"), (103, "one two"), (104, "")],
+        "doc_id long, text string",
+    )
+    docs = corpus.unionByName(shorts)
+    for t in (0.2, 0.5, 0.9):
+        exact = {
+            (r.a_id, r.b_id): r.jaccard
+            for r in ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        cnt = {
+            (r.a_id, r.b_id): r.jaccard
+            for r in jaccard_join_count(docs, threshold=t).collect()
+        }
+        auto = {
+            (r.a_id, r.b_id): r.jaccard
+            for r in jaccard_join_auto(docs, threshold=t).collect()
+        }
+        assert cnt == exact
+        assert auto == exact
+
+
 def test_short_docs_match_duckdb_oracle(spark):
     """ADVICE r1: the SQL gram construction must agree with Spark's
     partial shingle for <3-word docs (w[i+2] NULL-gram divergence)."""
@@ -303,6 +334,40 @@ def test_persisted_index_rejects_mismatched_params(spark, corpus, tmp_path):
         minhash_lsh_pairs_against(corpus.limit(5), corpus_index=idx, seed=7)
     with _pytest.raises(ValueError, match="exactly one"):
         minhash_lsh_pairs_against(corpus.limit(5))
+
+
+def test_simhash_native_signature_bit_equal_to_udf(spark, corpus):
+    """The Catalyst simhash twin must reproduce the Arrow UDF's signed
+    64-bit signatures exactly (incl. the two's-complement wrap and the
+    empty-doc zero), and the banded pair query must be identical under
+    either impl."""
+    from pyspark.sql import functions as F
+
+    from fluent_server_spark.functions.text import simhash_udf
+    from fluent_server_spark.operators.dedup import (
+        simhash_pairs,
+        simhash_signature_native,
+    )
+
+    docs = corpus.union(
+        corpus.sparkSession.createDataFrame(
+            [(9001, None), (9002, ""), (9003, "   ")],
+            "doc_id int, text string",
+        ).select(F.col("doc_id").cast("long"), "text")
+    )
+    nat = sorted(
+        (r["doc_id"], r["sim"]) for r in simhash_signature_native(docs).collect()
+    )
+    udf = sorted(
+        (r["doc_id"], r["sim"])
+        for r in docs.select(
+            "doc_id", simhash_udf(F.col("text")).alias("sim")
+        ).collect()
+    )
+    assert nat == udf
+    pn = sorted(tuple(r) for r in simhash_pairs(corpus, impl="native").collect())
+    pp = sorted(tuple(r) for r in simhash_pairs(corpus, impl="pandas").collect())
+    assert pn == pp
 
 
 def test_persisted_index_custom_seed_round_trips(spark, corpus, tmp_path):
