@@ -73,6 +73,113 @@ def _run_forward_server(args) -> int:
     return 0
 
 
+def _run_live_edge(args) -> int:
+    """ONE-COMMAND live edge: fluent-forward daemon + streaming spool
+    tail + exactly-once parquet sinks in a single process.
+
+        python -m fluent_server_spark --live-edge /var/spool/fss \
+            --sinks /data/sinks --checkpoint /data/stream-ck \
+            --port 24224 [--shared-key K] [--rotate-seconds 60]
+
+    Dataflow: fluentd/fluent-bit agents -> ForwardServer (asyncio thread,
+    `hidden_active` segments) -> rotate timer seals segments (rename to a
+    Spark-visible name; files are immutable from then on) -> Structured
+    Streaming binaryFile tail -> the SAME parse/enrich/route transform as
+    batch -> streaming parquet sink partitioned by sink (exactly-once via
+    the file-sink manifest + stream checkpoint; --checkpoint here is the
+    STREAM checkpoint dir, not the batch jsonl log).
+
+    Shutdown/drain story (SIGINT/Ctrl-C or --max-seconds): 1) stop the
+    TCP listener — agents see a closed connection and retry against
+    another edge (unacked chunks are theirs to resend); 2) seal the tail
+    segment with a final rotate; 3) q.processAllAvailable() — the stream
+    drains every sealed file; 4) stop the query and report sink counts +
+    wire stats as JSON. A restart with the same --checkpoint resumes
+    exactly-once: already-committed files are skipped by the sink log.
+    """
+    import asyncio
+    import threading
+    import time
+
+    from fluent_server_spark.sources.forward_server import ForwardServer
+    from fluent_server_spark.streaming.stream_pipeline import stream_spool_routed
+
+    spool = args.live_edge
+    srv = ForwardServer(
+        spool,
+        host=args.host,
+        port=args.port,
+        shared_key=args.shared_key,
+        heartbeat=args.heartbeat,
+        hidden_active=True,
+    )
+    loop = asyncio.new_event_loop()
+    ready = threading.Event()
+
+    def edge() -> None:
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(srv.start())
+        ready.set()
+        loop.run_forever()
+
+    t = threading.Thread(target=edge, daemon=True, name="fss-edge")
+    t.start()
+    ready.wait()
+    print(
+        json.dumps(
+            {"live_edge": {"host": args.host, "port": srv.port, "spool": spool}}
+        ),
+        flush=True,
+    )
+
+    spark = get_spark("fss-live-edge", cpus=args.cpus)
+    routed = stream_spool_routed(
+        spark, spool, parse_impl=args.parse_impl, recursive=True
+    )
+    q = (
+        routed.writeStream.format("parquet")
+        .option("path", args.sinks)
+        .option("checkpointLocation", args.checkpoint)
+        .partitionBy("sink")
+        .outputMode("append")
+        .start()
+    )
+    start = last_rotate = time.time()
+    try:
+        while True:
+            time.sleep(0.2)
+            now = time.time()
+            if now - last_rotate >= args.rotate_seconds:
+                loop.call_soon_threadsafe(srv.rotate)
+                last_rotate = now
+            if args.max_seconds and now - start >= args.max_seconds:
+                break  # bounded-run mode for tests/smoke
+    except KeyboardInterrupt:
+        pass
+    # drain: stop intake, seal the tail segment, let the stream catch up
+    asyncio.run_coroutine_threadsafe(srv.stop(), loop).result(timeout=30)
+    sealed = threading.Event()
+    loop.call_soon_threadsafe(lambda: (srv.rotate(), sealed.set()))
+    sealed.wait(timeout=30)
+    q.processAllAvailable()
+    q.stop()
+    loop.call_soon_threadsafe(loop.stop)
+    from pyspark.sql import functions as F
+
+    try:
+        counts = {
+            r["sink"]: r["n"]
+            for r in spark.read.parquet(args.sinks)
+            .groupBy("sink")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    except Exception:
+        counts = {}  # nothing ever arrived: the sink dir was never created
+    print(json.dumps({"stats": srv.stats, "sink_counts": counts}), flush=True)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="fluent_server_spark")
     ap.add_argument("--source", default="parquet", help="parquet|csv|json|iceberg|synthetic")
@@ -89,6 +196,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--forward-server", metavar="SPOOL_DIR", default=None,
                     help="run the fluent-forward TCP edge daemon writing "
                          "spool segments under SPOOL_DIR (no Spark job)")
+    ap.add_argument("--live-edge", metavar="SPOOL_DIR", default=None,
+                    help="ONE process: forward daemon + streaming spool tail "
+                         "+ parquet sinks (requires --sinks and --checkpoint "
+                         "= stream checkpoint dir)")
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=24224)
     ap.add_argument("--shared-key", default=None)
@@ -100,6 +211,14 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.forward_server:
         return _run_forward_server(args)
+    if args.live_edge:
+        missing = [f for f in ("sinks", "checkpoint") if not getattr(args, f)]
+        if missing:
+            ap.error(
+                "--live-edge also requires: "
+                + ", ".join("--" + m for m in missing)
+            )
+        return _run_live_edge(args)
     missing = [f for f in ("input", "sinks", "checkpoint") if not getattr(args, f)]
     if missing:
         ap.error(f"the following arguments are required: {', '.join('--' + m for m in missing)}")

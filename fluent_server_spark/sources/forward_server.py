@@ -133,12 +133,14 @@ class ForwardServer:
         heartbeat: bool = False,
         nonce: bytes | None = None,
         ssl_context=None,
+        hidden_active: bool = False,
     ) -> None:
         self.spool_dir = spool_dir
         self.host, self._req_port = host, port
         self.shared_key = shared_key
         self.server_hostname = server_hostname
         self.heartbeat = heartbeat
+        self.hidden_active = hidden_active
         self._nonce = nonce or secrets.token_bytes(16)
         self._auth_salt = secrets.token_bytes(16)
         self._server = None
@@ -171,13 +173,30 @@ class ForwardServer:
 
     def rotate(self) -> int:
         """Seal the current segment; subsequent writes open a new one.
-        Returns the sealed segment id."""
+        Returns the sealed segment id.
+
+        With `hidden_active`, sealing RENAMES the segment directory from
+        its underscore-prefixed working name to the visible one — Spark's
+        file listing skips `_`-prefixed paths, so batch scans and the
+        streaming tail only ever see sealed, immutable files (a growing
+        file would otherwise be read once by the file stream and its
+        later bytes silently lost). Call from the server's event loop
+        (the CLI does) so the rename never races an in-flight append."""
         sealed, self._segment = self._segment, self._segment + 1
+        if self.hidden_active:
+            wip = os.path.join(self.spool_dir, f"_open_{sealed:06d}")
+            if os.path.isdir(wip):
+                os.rename(wip, os.path.join(self.spool_dir, f"{sealed:06d}"))
         return sealed
 
     # -------------------------------------------------------------- spool io
     def _segment_path(self, tag: str) -> str:
-        d = os.path.join(self.spool_dir, f"{self._segment:06d}")
+        name = (
+            f"_open_{self._segment:06d}"
+            if self.hidden_active
+            else f"{self._segment:06d}"
+        )
+        d = os.path.join(self.spool_dir, name)
         os.makedirs(d, exist_ok=True)
         return os.path.join(d, f"{tag}.msgpack")
 

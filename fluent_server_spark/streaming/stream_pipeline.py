@@ -57,6 +57,7 @@ def stream_spool_routed(
     spool_dir: str,
     parse_impl: str = "native",
     max_files_per_trigger: int = 4,
+    recursive: bool = False,
 ) -> DataFrame:
     """Tail a LIVE fluentd spool directory as a stream: each new spool
     file (a rotated per-tag chunk of concatenated msgpack entries — the
@@ -66,8 +67,17 @@ def stream_spool_routed(
     -> the IDENTICAL parse/enrich/route transform. This is the closest a
     batch-first engine gets to the reference's accept loop: at-least-once
     per file, upgraded to exactly-once per micro-batch by the sink writer.
+
+    `recursive=True` loads `spool_dir` ITSELF with recursiveFileLookup —
+    required when tailing a LIVE spool written with
+    ForwardServer(hidden_active=True): underscore-prefixed active-segment
+    dirs are then filtered as hidden CHILDREN of the listing root,
+    whereas a glob like `spool/*` expands them into listing ROOTS, which
+    bypass Spark's hidden-path filter — the stream would list a file the
+    seal-rename then deletes (FAILED_READ.FILE_NOT_EXIST, found in the
+    live-edge e2e test).
     """
-    files = (
+    src = (
         spark.readStream.format("binaryFile")
         # binaryFile's schema is fixed, but a STREAMING source requires
         # it stated explicitly (no inference on unbounded input)
@@ -75,9 +85,10 @@ def stream_spool_routed(
             "path string, modificationTime timestamp, length long, content binary"
         )
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .load(spool_dir)
-        .select("path", "content")
     )
+    if recursive:
+        src = src.option("recursiveFileLookup", "true")
+    files = src.load(spool_dir).select("path", "content")
     from fluent_server_spark.sources.fluentfile import decode_files_df
 
     decoded = decode_files_df(files)

@@ -428,6 +428,86 @@ def test_wire_to_engine_end_to_end(spark, tmp_path, turns_pdf):
     assert got == want and sum(got.values()) == len(sample)
 
 
+def test_cli_live_edge_end_to_end(spark, tmp_path, turns_pdf):
+    """ONE CLI invocation (--live-edge) runs daemon + streaming spool
+    tail + parquet sinks; counts for wire-fed turns must equal routing
+    the same turns directly in batch (the documented drain story: stop
+    listener -> final rotate -> processAllAvailable -> report)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from fluent_server_spark.data.synth import ROUTE_RULE_ROWS, lookup_df
+    from fluent_server_spark.functions.parse import parse_turns
+    from fluent_server_spark.operators.enrich import enrich_turns
+    from fluent_server_spark.operators.route import route_turns, rules_from_rows
+
+    sample = turns_pdf.head(200)
+    spool, sinks, ck = (str(tmp_path / x) for x in ("spool", "sinks", "ck"))
+    env = {**os.environ, "PYTHONPATH": "/root/repo"}
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "fluent_server_spark",
+         "--live-edge", spool, "--sinks", sinks, "--checkpoint", ck,
+         "--host", "127.0.0.1", "--port", "0", "--cpus", "4",
+         "--rotate-seconds", "1.0", "--max-seconds", "35"],
+        stdout=subprocess.PIPE, text=True, cwd="/root/repo", env=env,
+    )
+    try:
+        banner = json.loads(proc.stdout.readline())
+        port = banner["live_edge"]["port"]
+        entries = [
+            (
+                int(row.ts.timestamp()),
+                {
+                    "conv_id": row.conv_id,
+                    "turn_idx": int(row.turn_idx),
+                    "role": row.role,
+                    "text": row.text,
+                    "tool": row.tool,
+                },
+            )
+            for row in sample.itertuples()
+        ]
+
+        async def send():
+            cli = ForwardClient("127.0.0.1", port)
+            await cli.connect()
+            half = len(entries) // 2
+            a1 = await cli.send_raw(
+                _forward_frame("transcripts", entries[:half],
+                               option={"chunk": "a"}),
+                await_ack=True,
+            )
+            a2 = await cli.send_raw(
+                _forward_frame("transcripts", entries[half:],
+                               option={"chunk": "b"}),
+                await_ack=True,
+            )
+            await cli.close()
+            return a1, a2
+
+        assert asyncio.run(send()) == ({"ack": "a"}, {"ack": "b"})
+        out, _ = proc.communicate(timeout=240)
+        assert proc.returncode == 0
+        final = json.loads(out.strip().splitlines()[-1])
+        assert final["stats"]["entries"] == len(sample)
+        got = final["sink_counts"]
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    direct = route_turns(
+        enrich_turns(parse_turns(spark.createDataFrame(sample)), lookup_df(spark)),
+        rules_from_rows(ROUTE_RULE_ROWS),
+    )
+    want = {
+        r["sink"]: r["n"]
+        for r in direct.groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want and sum(got.values()) == len(sample)
+
+
 def test_cli_forward_server_mode(tmp_path):
     """`python -m fluent_server_spark --forward-server DIR --max-seconds N`
     runs the daemon (no Spark), accepts events, and exits cleanly."""
