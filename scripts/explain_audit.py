@@ -65,10 +65,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
-    # round 2: the exact jaccard driver query is now the prefix-filtered
-    # similarity join — equi-joins only, no cross join anywhere
+    # r4: at the driver's loose t=0.2 the exact jaccard query routes to
+    # the overlap-COUNT kernel (token equi-join + hash agg, no prefix
+    # window, no array verify) — equi-joins only, no cross join anywhere
     "ngram_jaccard_pairs": (
-        ["ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin", "Window"],
+        ["ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin", "HashAggregate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
     # round 2: the benched embedding near-dup headline is the LSH path
@@ -80,8 +81,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin"],
         ["CartesianProduct"],
     ),
+    # r4: the Arrow signature stage runs once inside the localCheckpoint
+    # (it no longer appears in the final query's plan — that WAS the r3
+    # double-computation bug); the visible plan is the banded equi-join
     "simhash_neardup_pairs": (
-        ["ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin", "ArrowEvalPython|MapInPandas|Python"],
+        ["ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin", "Scan ExistingRDD|LocalTableScan"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
     # dotted-tag router: pure narrow CASE over the scan + one agg
