@@ -212,6 +212,7 @@ def jaccard_join_count(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity join via the INVERTED-INDEX COUNT
     kernel (Sarawagi & Kirpal SIGMOD'04; the reduce-side verify of
@@ -234,14 +235,25 @@ def jaccard_join_count(
     thresholds the inequality flips: prefixes shrink to (1-t)|A|+1
     tokens while this kernel's join stays full-size, so
     jaccard_join_auto routes on the threshold. Skew note: cost is
-    sum(df^2) over token document-frequencies; a stop-gram-heavy corpus
-    wants the same df-cap/salting insurance as the LSH bucket cap
-    (measured max df 25 on the driver corpus — no cap needed there).
+    sum(df^2) over token document-frequencies; `max_df` is the O(df^2)
+    insurance for stop-gram-heavy corpora — tokens appearing in more
+    than max_df docs are EXCLUDED from the join (one extra df groupBy +
+    semi-join, paid only when set). With a cap the result is a
+    documented approximation: overlap misses capped tokens, so jaccard
+    is underestimated and pairs whose ONLY shared grams are stop-grams
+    drop out (the same recall trade as the LSH max_bucket_size cap,
+    pinned in tests). Default None = exact (measured max df 25 on the
+    driver corpus — no cap needed there).
     """
     sh = with_hashed_shingles(
         docs.filter(F.col(text_col).isNotNull()), text_col, n
     ).select(F.col(id_col).alias("_id"), F.size("hg").alias("sz"), "hg")
     toks = sh.select("_id", "sz", F.explode("hg").alias("h"))
+    if max_df is not None:
+        freq = toks.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        toks = toks.join(
+            freq.filter(F.col("df") <= max_df).select("h"), "h", "left_semi"
+        )
     a = toks.select(
         F.col("_id").alias("a_id"), F.col("sz").alias("a_sz"), "h"
     )

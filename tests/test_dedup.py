@@ -336,6 +336,33 @@ def test_persisted_index_rejects_mismatched_params(spark, corpus, tmp_path):
         minhash_lsh_pairs_against(corpus.limit(5))
 
 
+def test_count_kernel_df_cap_semantics(spark, corpus):
+    """max_df insurance: a huge cap changes nothing (still exact); a
+    tight cap only REMOVES pairs / lowers jaccard (never adds), and a
+    pair whose shared grams all exceed the cap disappears."""
+    from fluent_server_spark.operators.dedup import jaccard_join_count
+
+    exact = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in jaccard_join_count(corpus, threshold=0.2).collect()
+    }
+    huge = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in jaccard_join_count(corpus, threshold=0.2, max_df=10_000).collect()
+    }
+    assert huge == exact
+    capped = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in jaccard_join_count(corpus, threshold=0.2, max_df=2).collect()
+    }
+    assert set(capped) <= set(exact)
+    for k, v in capped.items():
+        assert v <= exact[k]
+    # docs 0 and 1 are exact dups: every shared gram has df >= 3 (0, 1,
+    # and near-dup 2 share most grams), so max_df=2 erases the pair
+    assert (0, 1) in exact and (0, 1) not in capped
+
+
 def test_simhash_native_signature_bit_equal_to_udf(spark, corpus):
     """The Catalyst simhash twin must reproduce the Arrow UDF's signed
     64-bit signatures exactly (incl. the two's-complement wrap and the
