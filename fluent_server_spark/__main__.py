@@ -133,17 +133,50 @@ def _run_live_edge(args) -> int:
     )
 
     spark = get_spark("fss-live-edge", cpus=args.cpus)
-    routed = stream_spool_routed(
-        spark, spool, parse_impl=args.parse_impl, recursive=True
-    )
-    q = (
-        routed.writeStream.format("parquet")
-        .option("path", args.sinks)
-        .option("checkpointLocation", args.checkpoint)
-        .partitionBy("sink")
-        .outputMode("append")
-        .start()
-    )
+    pipe = None
+    if args.snapshots:
+        # full snapshot-table landing: one manifest-committed run per
+        # epoch -> read_appended / time travel / MERGE surface on the
+        # live table (the batch commit log lives INSIDE the sinks dir as
+        # an underscore file, invisible to parquet scans)
+        import os as _os
+
+        from fluent_server_spark.plans.pipeline import (
+            PipelineConfig,
+            TranscriptPipeline,
+        )
+        from fluent_server_spark.streaming.stream_pipeline import (
+            stream_spool_into_snapshots,
+        )
+
+        _os.makedirs(args.sinks, exist_ok=True)
+        pipe = TranscriptPipeline(
+            spark,
+            PipelineConfig(
+                sinks_path=args.sinks,
+                checkpoint_path=_os.path.join(args.sinks, "_batch_commits.jsonl"),
+                parse_impl=args.parse_impl,
+                n_buckets=args.buckets,
+                n_salt=args.salt,
+                checkpoint_groups=args.groups,
+                snapshots=True,
+            ),
+        )
+        q = stream_spool_into_snapshots(
+            spark, spool, pipe, args.checkpoint, recursive=True
+        )
+    else:
+        routed = stream_spool_routed(
+            spark, spool, parse_impl=args.parse_impl, recursive=True
+        )
+        q = (
+            routed.writeStream.format("parquet")
+            .option("path", args.sinks)
+            .option("checkpointLocation", args.checkpoint)
+            .partitionBy("sink")
+            .outputMode("append")
+            .start()
+        )
     start = last_rotate = time.time()
     try:
         while True:
@@ -167,10 +200,12 @@ def _run_live_edge(args) -> int:
     from pyspark.sql import functions as F
 
     try:
+        table = pipe.read_appended() if pipe is not None else spark.read.parquet(
+            args.sinks
+        )
         counts = {
             r["sink"]: r["n"]
-            for r in spark.read.parquet(args.sinks)
-            .groupBy("sink")
+            for r in table.groupBy("sink")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
@@ -200,6 +235,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="ONE process: forward daemon + streaming spool tail "
                          "+ parquet sinks (requires --sinks and --checkpoint "
                          "= stream checkpoint dir)")
+    ap.add_argument("--snapshots", action="store_true",
+                    help="live-edge: land the SNAPSHOT table (one manifest "
+                         "commit per epoch; read_appended/time-travel/MERGE "
+                         "surface) instead of the plain parquet sink")
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=24224)
     ap.add_argument("--shared-key", default=None)

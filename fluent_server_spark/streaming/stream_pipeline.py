@@ -77,6 +77,22 @@ def stream_spool_routed(
     seal-rename then deletes (FAILED_READ.FILE_NOT_EXIST, found in the
     live-edge e2e test).
     """
+    turns = stream_spool_turns(spark, spool_dir, max_files_per_trigger, recursive)
+    parsed = parse_turns(turns, impl=parse_impl)
+    enriched = enrich_turns(parsed, lookup_df(spark))
+    return route_turns(enriched, rules_from_rows(ROUTE_RULE_ROWS))
+
+
+def stream_spool_turns(
+    spark: SparkSession,
+    spool_dir: str,
+    max_files_per_trigger: int = 4,
+    recursive: bool = False,
+) -> DataFrame:
+    """The decoded TURNS stream of a spool tail (the shared front half of
+    stream_spool_routed): binaryFile file-stream -> Arrow-batched msgpack
+    decode -> the canonical turns schema. Feed it to any batch transform
+    via foreachBatch (see stream_spool_into_snapshots)."""
     src = (
         spark.readStream.format("binaryFile")
         # binaryFile's schema is fixed, but a STREAMING source requires
@@ -92,7 +108,7 @@ def stream_spool_routed(
     from fluent_server_spark.sources.fluentfile import decode_files_df
 
     decoded = decode_files_df(files)
-    turns = decoded.select(
+    return decoded.select(
         F.col("record")["conv_id"].alias("conv_id"),
         F.col("record")["turn_idx"].cast("int").alias("turn_idx"),
         F.col("record")["role"].alias("role"),
@@ -100,9 +116,43 @@ def stream_spool_routed(
         F.col("record")["tool"].alias("tool"),
         F.col("ts").cast("timestamp").alias("ts"),
     )
-    parsed = parse_turns(turns, impl=parse_impl)
-    enriched = enrich_turns(parsed, lookup_df(spark))
-    return route_turns(enriched, rules_from_rows(ROUTE_RULE_ROWS))
+
+
+def stream_spool_into_snapshots(
+    spark: SparkSession,
+    spool_dir: str,
+    pipeline,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 4,
+    recursive: bool = False,
+):
+    """LIVE WIRE -> SNAPSHOT TABLE: tail a forward-daemon spool and run
+    the FULL batch pipeline (parse -> enrich -> route -> partitioned
+    write + manifest commit) per micro-batch epoch, run_id = the epoch
+    id — the spool-source twin of stream_into_snapshots with the same
+    exactly-once story (a replayed epoch re-runs under the SAME run_id,
+    and the batch writer skips acked groups). The landed table has the
+    full snapshot surface: read_appended() union-of-epochs, per-epoch
+    time travel, MERGE/DELETE/compaction.
+
+    Returns the started StreamingQuery (caller drains and stops — the
+    live-edge CLI's drain story applies: stop intake, seal the tail
+    segment, processAllAvailable, stop)."""
+    if not pipeline.config.snapshots:
+        raise ValueError(
+            "stream_spool_into_snapshots requires PipelineConfig("
+            "snapshots=True): appended epochs need run-scoped dirs"
+        )
+    turns = stream_spool_turns(spark, spool_dir, max_files_per_trigger, recursive)
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        pipeline.run(batch_df, run_id=f"epoch-{epoch_id:06d}")
+
+    return (
+        turns.writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
 
 
 def windowed_sink_counts(

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from fluent_server_spark.data.synth import synth_turns_pandas
 from fluent_server_spark.oracle.pandas_oracle import oracle_pipeline
@@ -134,6 +135,103 @@ def test_stream_spool_tail_matches_batch(spark, tmp_path):
 
     assert len(got) == 24
     pd.testing.assert_frame_equal(got, batch)
+
+
+def test_stream_spool_into_snapshots_wire_to_table(spark, turns_pdf, tmp_path):
+    """LIVE WIRE -> SNAPSHOT TABLE: forward-protocol frames land as
+    sealed spool segments (hidden_active), the spool tail commits one
+    snapshot run per epoch, and read_appended equals batch routing of
+    the same turns — with per-epoch time travel intact."""
+    import asyncio
+
+    from fluent_server_spark.plans.pipeline import PipelineConfig, TranscriptPipeline
+    from fluent_server_spark.sources.forward_server import ForwardClient, ForwardServer
+    from fluent_server_spark.streaming.stream_pipeline import (
+        stream_spool_into_snapshots,
+    )
+    from tests.test_forward_server import _forward_frame
+
+    sample = turns_pdf.head(240)
+    spool = str(tmp_path / "spool")
+
+    async def feed():
+        srv = ForwardServer(spool, hidden_active=True)
+        await srv.start()
+        try:
+            cli = ForwardClient("127.0.0.1", srv.port)
+            await cli.connect()
+            entries = [
+                (
+                    int(row.ts.timestamp()),
+                    {
+                        "conv_id": row.conv_id,
+                        "turn_idx": int(row.turn_idx),
+                        "role": row.role,
+                        "text": row.text,
+                        "tool": row.tool,
+                    },
+                )
+                for row in sample.itertuples()
+            ]
+            half = len(entries) // 2
+            await cli.send_raw(
+                _forward_frame("transcripts", entries[:half]), await_ack=False
+            )
+            await asyncio.sleep(0.2)
+            srv.rotate()  # sealed + renamed visible
+            await cli.send_raw(
+                _forward_frame("transcripts", entries[half:]), await_ack=False
+            )
+            await asyncio.sleep(0.2)
+            await cli.close()
+        finally:
+            await srv.stop()
+            srv.rotate()  # seal the tail (the CLI drain story)
+
+    asyncio.run(feed())
+    assert not list((tmp_path / "spool").glob("_open_*")), "unsealed tail"
+
+    pipe = TranscriptPipeline(
+        spark,
+        PipelineConfig(
+            sinks_path=str(tmp_path / "snap-sinks"),
+            checkpoint_path=str(tmp_path / "snap-ckpt.jsonl"),
+            n_buckets=8,
+            n_salt=2,
+            snapshots=True,
+        ),
+    )
+    q = stream_spool_into_snapshots(
+        spark, spool, pipe, str(tmp_path / "sckpt"), recursive=True
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    table = pipe.read_appended()
+    assert table.count() == len(sample)
+    epochs = [r.run_id for r in pipe.checkpoint.all_committed()]
+    assert all(e.startswith("epoch-") for e in epochs)
+
+    batch = TranscriptPipeline(
+        spark,
+        PipelineConfig(
+            sinks_path=str(tmp_path / "bsinks"),
+            checkpoint_path=str(tmp_path / "bckpt.jsonl"),
+            n_buckets=8,
+            n_salt=2,
+        ),
+    )
+    batch.run(spark.createDataFrame(sample))
+    want = {
+        r["sink"]: r["n"]
+        for r in batch.read_sinks().groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {
+        r["sink"]: r["n"]
+        for r in table.groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
 
 
 def test_stream_into_snapshots_appends_epochs(spark, turns_pdf, tmp_path):
