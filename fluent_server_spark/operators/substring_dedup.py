@@ -1,0 +1,154 @@
+"""Substring-level exact deduplication — the training-data operator of
+Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+Better", ACL): remove every CHARACTER SPAN of length >= k that occurs
+elsewhere in the corpus, keeping only the canonical first occurrence.
+Document-level dedup (operators/dedup.py) misses this entirely: two
+distinct pages sharing a boilerplate paragraph are not near-dups, but
+the paragraph still trains the model twice.
+
+Spark-first shape (the published implementation builds a suffix array;
+a distributed engine gets the same >= k spans from stride-1 k-gram
+fingerprints):
+
+1. FINGERPRINT (narrow): every position i of every doc emits
+   (doc, i, xxhash64(text[i : i+k])) — total rows == total corpus chars,
+   which is the honest cost of substring dedup at any scale (the suffix
+   array is O(total chars) too). The xxhash64 fingerprint stands in for
+   the gram (2^-64 collision risk, same contract as the hashed-shingle
+   ops).
+2. CANONICALIZE (one shuffle on the 8-byte hash, partial-aggregated):
+   grams with count > 1 are duplicated; the canonical occurrence is
+   min (doc, pos) — a deterministic global "first".
+3. MARK (equi-join on hash): every non-canonical occurrence of a
+   duplicated gram marks its k chars for removal. Overlapping marks
+   chain, so a duplicated span of ANY length >= k is covered end-to-end
+   while its canonical copy is untouched (the canonical copy's grams
+   are the minima, never marked).
+4. MERGE (one window per doc): standard gaps-and-islands over the
+   marked [pos, pos+k) intervals -> maximal removal spans.
+5. CUT (narrow): rebuild each doc's text with a Catalyst fold over its
+   sorted spans — no Python in the plan anywhere.
+
+Semantics notes, pinned against a pure-Python reference in
+tests/test_substring_dedup.py:
+* spans shorter than k are invisible (the k-gram resolution — same as
+  the published approach's minimum match length);
+* within-doc repetition dedups too (second occurrence removed);
+* the canonical occurrence is per-GRAM, so two long duplicated spans
+  that partially overlap resolve exactly as the gram marks dictate —
+  deterministic, engine-independent.
+
+Skew note for 100 TB: a gram repeated across millions of docs (empty
+lines, boilerplate headers) makes steps 2-3 hot on one hash key; the
+aggregation is partial (map-side combine collapses per-partition
+counts), and the join back is hash -> many rows, which Spark handles as
+an ordinary skewed equi-join (AQE skew split). The marked-position
+stream never exceeds total corpus chars.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gram_positions(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 20
+) -> DataFrame:
+    """(id, pos, h): stride-1 k-gram fingerprints; pos is 1-based.
+    Docs shorter than k emit nothing (no span >= k can start in them)."""
+    text = F.col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(text) - k + 1),
+        lambda i: F.struct(
+            i.alias("pos"), F.xxhash64(text.substr(i, F.lit(k))).alias("h")
+        ),
+    )
+    return (
+        docs.filter(F.length(text) >= k)
+        .select(id_col, F.explode(grams).alias("g"))
+        .select(id_col, "g.pos", "g.h")
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 20
+) -> DataFrame:
+    """(id, start, end): maximal char spans to REMOVE — every occurrence
+    of duplicated >= k-grams except the canonical (global-first) one,
+    merged per doc. start is 1-based, end exclusive."""
+    g = gram_positions(docs, id_col, text_col, k)
+    occ = F.struct(F.col(id_col), F.col("pos"))
+    dup = (
+        g.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"), F.min(occ).alias("canon"))
+        .filter(F.col("c") > 1)
+        .select("h", "canon")
+    )
+    marked = (
+        g.join(dup, "h")
+        .filter(occ != F.col("canon"))
+        .select(id_col, "pos")
+    )
+    # gaps-and-islands: a mark covers [pos, pos+k); a new island starts
+    # when this mark begins after every previous mark's end
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    island = F.when(
+        prev_max_end.isNull() | (F.col("pos") > prev_max_end), 1
+    ).otherwise(0)
+    with_island = marked.withColumn(
+        "island", F.sum(island).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        with_island.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("start"),
+            (F.max("pos") + k).alias("end"),
+        )
+        .select(id_col, "start", "end")
+    )
+
+
+def dedup_substrings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 20
+) -> DataFrame:
+    """The corpus with duplicated >= k-char spans CUT (canonical first
+    occurrences kept): adds `text_dedup` and `n_removed_chars`. Docs
+    with nothing duplicated pass through byte-identical."""
+    spans = duplicate_spans(docs, id_col, text_col, k)
+    per_doc = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("start"), F.col("end")))
+        ).alias("_spans")
+    )
+    text = F.col(text_col)
+    # fold over sorted spans: carry (kept text so far, cursor); each span
+    # appends the untouched slice before it and jumps the cursor past it
+    init = F.struct(F.lit("").alias("acc"), F.lit(1).alias("cur"))
+    step = lambda a, s: F.struct(  # noqa: E731
+        F.concat(a["acc"], text.substr(a["cur"], s["start"] - a["cur"])).alias(
+            "acc"
+        ),
+        s["end"].alias("cur"),
+    )
+    tail = lambda a: F.concat(  # noqa: E731
+        a["acc"], text.substr(a["cur"], F.length(text) - a["cur"] + 1)
+    )
+    cut = F.aggregate(F.col("_spans"), init, step, tail)
+    return (
+        docs.join(per_doc, id_col, "left")
+        .withColumn(
+            "text_dedup",
+            F.when(F.col("_spans").isNull(), text).otherwise(cut),
+        )
+        .withColumn(
+            "n_removed_chars",
+            F.coalesce(F.length(text) - F.length("text_dedup"), F.lit(0)).cast(
+                "int"
+            ),
+        )
+        .drop("_spans")
+    )
