@@ -35,8 +35,14 @@ def _run_forward_server(args) -> int:
     """The ingest-edge daemon loop: serve, rotate segments on a timer,
     exit after --max-seconds (0 = run until interrupted)."""
     import asyncio
+    import signal
 
     from fluent_server_spark.sources.forward_server import ForwardServer
+
+    def _sigterm(*_args) -> None:
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _sigterm)
 
     async def serve() -> None:
         srv = ForwardServer(
@@ -98,11 +104,19 @@ def _run_live_edge(args) -> int:
     exactly-once: already-committed files are skipped by the sink log.
     """
     import asyncio
+    import signal
     import threading
     import time
 
     from fluent_server_spark.sources.forward_server import ForwardServer
     from fluent_server_spark.streaming.stream_pipeline import stream_spool_routed
+
+    # daemons are stopped with SIGTERM; route it into the same drain
+    # path as Ctrl-C (KeyboardInterrupt out of the sleep loop below)
+    def _sigterm(*_args) -> None:
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _sigterm)
 
     spool = args.live_edge
     srv = ForwardServer(
@@ -199,10 +213,27 @@ def _run_live_edge(args) -> int:
     loop.call_soon_threadsafe(loop.stop)
     from pyspark.sql import functions as F
 
+    compaction = None
+    if pipe is not None and args.compact_on_drain:
+        # many short epochs -> many tiny run dirs: rewrite the live
+        # snapshot into ONE run (byte-equal data) and reclaim the old
+        # epoch dirs — the rewrite_data_files + expire_snapshots pass a
+        # real table runs after streaming ingest
+        try:
+            run = pipe.compact_snapshots()
+            removed = pipe.vacuum_snapshots()
+            compaction = {"compacted_run": run, "vacuumed_dirs": len(removed)}
+        except Exception as e:  # an empty table has nothing to compact
+            compaction = {"skipped": f"{type(e).__name__}: {e}"}
     try:
-        table = pipe.read_appended() if pipe is not None else spark.read.parquet(
-            args.sinks
-        )
+        if pipe is None:
+            table = spark.read.parquet(args.sinks)
+        elif compaction is not None and "compacted_run" in compaction:
+            # post-rewrite state resolves through the manifest —
+            # read_appended deliberately refuses after a rewrite run
+            table = pipe.read_sinks()
+        else:
+            table = pipe.read_appended()
         counts = {
             r["sink"]: r["n"]
             for r in table.groupBy("sink")
@@ -211,7 +242,10 @@ def _run_live_edge(args) -> int:
         }
     except Exception:
         counts = {}  # nothing ever arrived: the sink dir was never created
-    print(json.dumps({"stats": srv.stats, "sink_counts": counts}), flush=True)
+    out = {"stats": srv.stats, "sink_counts": counts}
+    if compaction is not None:
+        out["compaction"] = compaction
+    print(json.dumps(out), flush=True)
     return 0
 
 
@@ -239,6 +273,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="live-edge: land the SNAPSHOT table (one manifest "
                          "commit per epoch; read_appended/time-travel/MERGE "
                          "surface) instead of the plain parquet sink")
+    ap.add_argument("--compact-on-drain", action="store_true",
+                    help="live-edge --snapshots: after the drain, rewrite the "
+                         "live snapshot into one run (small-files compaction; "
+                         "rewrite_data_files analogue) and vacuum superseded "
+                         "epoch dirs")
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=24224)
     ap.add_argument("--shared-key", default=None)
