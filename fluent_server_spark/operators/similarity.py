@@ -298,17 +298,57 @@ def lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: score only same-bucket candidates.
 
     The equi-join on bucket replaces the cross join: expected candidate
-    count N/2^H per query. Recall is tested against brute_force_topk."""
+    count N/2^H per query. Recall is tested against brute_force_topk.
+
+    `probes` > 1 enables MULTI-PROBE (Lv et al. VLDB'07): each query
+    additionally probes the hamming-1 buckets reached by flipping its
+    LEAST-CONFIDENT plane signs — the bits whose |dot(v, plane)| margin
+    is smallest, i.e. where a true neighbor most plausibly landed on the
+    other side. Recall rises toward brute force WITHOUT more tables or
+    fewer planes: candidate cost scales linearly in `probes` (each
+    corpus vector lives in exactly one bucket, so probe buckets are
+    disjoint — no candidate dedup needed), and only the tiny QUERY side
+    fans out; the corpus-side plan is unchanged and stays narrow."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    margins = F.array(
+        *[
+            dot(F.col(vec_col), F.array(*[F.lit(x) for x in p]))
+            for p in planes
+        ]
+    )
     qb = with_lsh_bucket(queries, dim, n_planes, seed, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         l2_norm(F.col(vec_col)).alias("q_nrm"),
         "bucket",
+        margins.alias("_margins"),
     )
+    if probes > 1:
+        # bits ordered by |margin| asc; probe j flips the j-th least
+        # confident bit (probe 0 = the query's own bucket)
+        order = F.array_sort(
+            F.transform(
+                F.col("_margins"),
+                lambda m, i: F.struct(F.abs(m).alias("a"), i.alias("bit")),
+            )
+        )
+        pow2 = F.array(*[F.lit(1 << b) for b in range(n_planes)])
+        variants = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(
+                    F.element_at(pow2, F.element_at(order, j + 1)["bit"] + 1)
+                )
+                for j in range(min(probes - 1, n_planes))
+            ],
+        )
+        qb = qb.withColumn("bucket", F.explode(variants))
+    qb = qb.drop("_margins")
     cb = with_lsh_bucket(corpus, dim, n_planes, seed, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),

@@ -134,6 +134,7 @@ class ForwardServer:
         nonce: bytes | None = None,
         ssl_context=None,
         hidden_active: bool = False,
+        max_buffer: int = 64 << 20,
     ) -> None:
         self.spool_dir = spool_dir
         self.host, self._req_port = host, port
@@ -141,6 +142,7 @@ class ForwardServer:
         self.server_hostname = server_hostname
         self.heartbeat = heartbeat
         self.hidden_active = hidden_active
+        self.max_buffer = max_buffer
         self._nonce = nonce or secrets.token_bytes(16)
         self._auth_salt = secrets.token_bytes(16)
         self._server = None
@@ -148,7 +150,13 @@ class ForwardServer:
         self._segment = 0
         self._ssl = ssl_context
         self._lock = asyncio.Lock()
-        self.stats = {"connections": 0, "entries": 0, "acks": 0, "rejected": 0}
+        self.stats = {
+            "connections": 0,
+            "entries": 0,
+            "acks": 0,
+            "rejected": 0,
+            "overflowed": 0,
+        }
 
     # ------------------------------------------------------------ lifecycle
     async def start(self) -> None:
@@ -284,6 +292,13 @@ class ForwardServer:
                     frame, consumed = got
                     del buf[:consumed]
                     await self._dispatch(frame, writer)
+                # memory backstop: a client streaming bytes that never
+                # decode into a frame (garbage, or a single frame larger
+                # than max_buffer) would otherwise grow the buffer
+                # without bound — drop the connection, keep the server
+                if len(buf) > self.max_buffer:
+                    self.stats["overflowed"] += 1
+                    break
                 chunk = await reader.read(65536)
                 if not chunk:
                     break

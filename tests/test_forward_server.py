@@ -247,6 +247,43 @@ def test_events_pipelined_behind_ping_not_dropped(spark, tmp_path):
     assert stats["entries"] == 2, f"pipelined events dropped: {stats}"
 
 
+def test_undecodable_flood_drops_connection_not_server(tmp_path):
+    """A client streaming bytes that never decode into a frame must be
+    dropped at max_buffer (memory backstop), while the server keeps
+    serving new connections."""
+
+    srv_stats = {}
+
+    async def outer():
+        srv = ForwardServer(str(tmp_path / "spool"), max_buffer=4096)
+        await srv.start()
+        try:
+            r, w = await asyncio.open_connection("127.0.0.1", srv.port)
+            # 0xc5 = bin16 header claiming 65535 bytes; the stream then
+            # carries garbage well past the 4 KiB cap without ever
+            # completing a frame
+            w.write(b"\xc5\xff\xff" + b"\x00" * 8192)
+            await w.drain()
+            await r.read()  # server closes on us
+            w.close()
+            # the server must still accept and serve a healthy client
+            cli = ForwardClient("127.0.0.1", srv.port)
+            assert await cli.connect()
+            ack = await cli.send_raw(
+                _message_frame("ok.tag", T0, {"n": 1}, option={"chunk": "h"}),
+                await_ack=True,
+            )
+            await cli.close()
+            await asyncio.sleep(0.1)
+            srv_stats.update(srv.stats)
+            return ack
+        finally:
+            await srv.stop()
+
+    assert asyncio.run(outer()) == {"ack": "h"}
+    assert srv_stats["overflowed"] == 1 and srv_stats["entries"] == 1
+
+
 def test_udp_heartbeat_echoes():
     async def scenario():
         srv = ForwardServer("/tmp/unused-spool", heartbeat=True)
