@@ -53,6 +53,9 @@ HEADLINE_QUERIES = [
     "doc_fingerprints",
     "minhash_neardup_pairs",
     "simhash_neardup_pairs",
+    # r4: exact jaccard joined the headline set once the threshold-aware
+    # count kernel made it bench-shaped (1.4s at sf0.1, was 9.5s)
+    "ngram_jaccard_pairs",
     # embedding_neardup_pairs (exact O(n^2) cross join) is deliberately
     # NOT benched: it is the sf0.01 oracle anchor only. The benched
     # near-dup headline is the LSH scale path, same for ANN.

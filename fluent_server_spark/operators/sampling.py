@@ -75,3 +75,36 @@ def weighted_sample(
     return df.filter(
         weighted_sample_pred(key_col, rate_col, rates, default_rate, salt)
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str,
+    epoch: int,
+    salt: str = "epoch",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic per-epoch training order: a GLOBAL pseudo-random
+    permutation that is a pure function of (key, epoch) — the same
+    reproducibility contract as the samplers above, applied to ORDER.
+    `orderBy(rand())` is neither reproducible across retries nor stable
+    under partition changes; here the sort key is the portable
+    `sample_hash(salt-epoch || key)`, so every engine, resume, and audit
+    derives the identical order, and epoch k+1 is a fresh independent
+    permutation of epoch k (different salt input -> independent hash).
+
+    Scale shape: one range-partitioned sort (repartitionByRange on the
+    hash, then a per-partition sort) — exactly what writing a shuffled
+    training shard layout costs anyway; downstream sequence packing
+    reads the shards in order. Ties (hash collisions at 1e-6 density)
+    break deterministically on the key itself."""
+    h = sample_hash(F.col(key_col), f"{salt}-{epoch}")
+    out = df.withColumn("_shuffle_key", h)
+    if partitions is not None:
+        # shard layout: globally ordered ACROSS shards (range partition)
+        # and within each (local sort) — no single-reducer global sort
+        out = out.repartitionByRange(partitions, "_shuffle_key", key_col)
+        return out.sortWithinPartitions("_shuffle_key", key_col).drop(
+            "_shuffle_key"
+        )
+    return out.orderBy("_shuffle_key", key_col).drop("_shuffle_key")
