@@ -267,3 +267,42 @@ def test_global_ntile_property_matches_window(spark, values, n, n_part):
         r["k"]: r["nt"] for r in df.withColumn("nt", F.ntile(n).over(w)).collect()
     }
     assert got == want
+
+
+# --------------------------------------------- jaccard count kernel (r4)
+
+doc_text = st.text(alphabet="ab cd", min_size=0, max_size=40)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(doc_text, min_size=2, max_size=12), st.sampled_from([0.1, 0.3, 0.6]))
+def test_jaccard_count_kernel_matches_set_oracle(spark, batch, threshold):
+    """The overlap-count kernel must equal a pure-Python shingle-set
+    jaccard on RANDOM corpora — tiny vocab ('ab'/'cd' words) maximizes
+    gram collisions, short docs exercise the partial-shingle clamp."""
+    from fluent_server_spark.operators.dedup import jaccard_join_count
+
+    def grams(text: str) -> frozenset[str]:
+        ws = re.split(r"\s+", text.strip().lower())
+        return frozenset(
+            " ".join(ws[i : i + 3]) for i in range(max(len(ws) - 3, 0) + 1)
+        )
+
+    want = {}
+    for i in range(len(batch)):
+        for j in range(i + 1, len(batch)):
+            a, b = grams(batch[i]), grams(batch[j])
+            u = len(a | b)
+            if u == 0:
+                continue
+            jac = round(len(a & b) / u, 6)
+            if jac >= threshold:
+                want[(i, j)] = jac
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(batch)], "doc_id long, text string"
+    )
+    got = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in jaccard_join_count(df, threshold=threshold).collect()
+    }
+    assert got == want
