@@ -1,0 +1,109 @@
+"""Language-model quality scoring — the CCNet-style perplexity filter
+(Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data") with the LM the pipeline can actually
+train ON THE CLUSTER: a corpus unigram model with add-k smoothing.
+Documents whose average negative log-likelihood is far from the corpus
+norm are either gibberish (high NLL — rare/unseen tokens throughout) or
+degenerate boilerplate (low NLL — nothing but stopwords); production
+filters keep the middle band, exactly how CCNet buckets by perplexity.
+
+Shape: training IS one word-count aggregation over the corpus (the
+model is the frequency table); scoring is an equi-join of the exploded
+(doc, word) stream against it plus one keyed aggregation back to docs.
+Nothing is collected to the driver — at 100 TB the vocabulary is a
+table, not a broadcast — and every step is built-in (no UDFs). For a
+frozen external LM you would broadcast its table instead; the join
+shape is identical.
+
+NLL convention (pinned against a pure-Python reference in
+tests/test_lm_quality.py): p(w) = (count(w) + k) / (N + k*(V+1)) with
+one shared unseen bucket, avg_nll = mean over the doc's word
+OCCURRENCES of -ln p(w); docs with no words score NULL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _words(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        id_col,
+        F.explode(
+            F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+
+
+def train_unigram(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(w, n): the unigram model — a plain aggregate table, storable as
+    parquet and reusable across scoring runs (train once per corpus
+    snapshot, score every increment against it)."""
+    return _words(docs, id_col, text_col).groupBy("w").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def unigram_nll_scores(
+    docs: DataFrame,
+    model: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 1.0,
+) -> DataFrame:
+    """(id, n_words, avg_nll): per-doc average negative log-likelihood
+    under the (given or self-trained) unigram model. One join on the
+    word, one aggregation on the doc id; the model's normalization
+    constants come from a bounded two-row aggregate of the model table,
+    carried as literals via crossJoin-of-one-row (broadcast, no shuffle
+    of the scored stream)."""
+    if model is None:
+        model = train_unigram(docs, id_col, text_col)
+    totals = model.agg(
+        F.sum("n").alias("_N"), F.count(F.lit(1)).alias("_V")
+    )
+    w = _words(docs, id_col, text_col)
+    scored = (
+        w.join(model, "w", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            (
+                -F.log(
+                    (F.coalesce(F.col("n"), F.lit(0)) + F.lit(float(k)))
+                    / (F.col("_N") + F.lit(float(k)) * (F.col("_V") + 1))
+                )
+            ).alias("nll"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+    )
+    return docs.select(id_col).join(per_doc, id_col, "left")
+
+
+def perplexity_band_filter(
+    docs: DataFrame,
+    lo_quantile: float = 0.1,
+    hi_quantile: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model: DataFrame | None = None,
+) -> DataFrame:
+    """Keep the middle perplexity band (CCNet's head/middle split
+    generalized): drop the lowest-NLL tail (degenerate/boilerplate) and
+    the highest-NLL tail (gibberish). Band edges come from approximate
+    quantiles of the score table (bounded driver values); wordless docs
+    are dropped with the gibberish tail."""
+    scores = unigram_nll_scores(docs, model, id_col, text_col)
+    lo, hi = scores.filter(F.col("avg_nll").isNotNull()).approxQuantile(
+        "avg_nll", [lo_quantile, hi_quantile], 0.001
+    )
+    keep = scores.filter(F.col("avg_nll").between(lo, hi)).select(id_col)
+    return docs.join(keep, id_col, "left_semi")

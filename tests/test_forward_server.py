@@ -247,6 +247,65 @@ def test_events_pipelined_behind_ping_not_dropped(spark, tmp_path):
     assert stats["entries"] == 2, f"pipelined events dropped: {stats}"
 
 
+def test_concurrent_clients_interleave_without_loss(spark, tmp_path):
+    """Many simultaneous connections, each pipelining acked frames while
+    rotations happen mid-stream: every entry must land exactly once and
+    per-tag counts must be exact (the _append lock + per-tag files are
+    the serialization points)."""
+    N_CLIENTS, FRAMES, BATCH = 6, 5, 20
+
+    async def one_client(port, cid):
+        cli = ForwardClient("127.0.0.1", port)
+        assert await cli.connect()
+        for f in range(FRAMES):
+            entries = [
+                (T0 + cid * 10_000 + f * 100 + i, {"c": cid, "f": f, "i": i})
+                for i in range(BATCH)
+            ]
+            ack = await cli.send_raw(
+                _forward_frame(f"tag.{cid}", entries,
+                               option={"chunk": f"{cid}-{f}"}),
+                await_ack=True,
+            )
+            assert ack == {"ack": f"{cid}-{f}"}
+            await asyncio.sleep(0.01)
+        await cli.close()
+
+    async def scenario():
+        srv = ForwardServer(str(tmp_path / "spool"))
+        await srv.start()
+        try:
+            async def rotator():
+                for _ in range(4):
+                    await asyncio.sleep(0.05)
+                    srv.rotate()
+
+            await asyncio.gather(
+                rotator(), *[one_client(srv.port, c) for c in range(N_CLIENTS)]
+            )
+            await asyncio.sleep(0.1)
+        finally:
+            await srv.stop()
+        return srv.stats
+
+    stats = asyncio.run(scenario())
+    total = N_CLIENTS * FRAMES * BATCH
+    assert stats["entries"] == total
+    assert stats["acks"] == N_CLIENTS * FRAMES
+
+    from fluent_server_spark.sources.fluentfile import read_spool_files
+
+    rows = read_spool_files(spark, str(tmp_path / "spool" / "*")).collect()
+    assert len(rows) == total
+    by_tag = {}
+    for r in rows:
+        by_tag[r["tag"]] = by_tag.get(r["tag"], 0) + 1
+    assert by_tag == {f"tag.{c}": FRAMES * BATCH for c in range(N_CLIENTS)}
+    # exactly-once at the record level, not just counts
+    keys = {(r["tag"], r["record"]["c"], r["record"]["f"], r["record"]["i"]) for r in rows}
+    assert len(keys) == total
+
+
 def test_undecodable_flood_drops_connection_not_server(tmp_path):
     """A client streaming bytes that never decode into a frame must be
     dropped at max_buffer (memory backstop), while the server keeps
