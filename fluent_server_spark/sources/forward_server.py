@@ -160,6 +160,12 @@ class ForwardServer:
 
     # ------------------------------------------------------------ lifecycle
     async def start(self) -> None:
+        # resume segment numbering PAST anything already on disk: a
+        # daemon restarted on the same spool must never append to (or
+        # seal-rename onto) a segment an earlier process wrote — files a
+        # stream already consumed are only read once, so appending to
+        # them silently loses the appended entries downstream
+        self._segment = self._next_segment()
         self._server = await asyncio.start_server(
             self._handle, self.host, self._req_port, ssl=self._ssl
         )
@@ -178,6 +184,18 @@ class ForwardServer:
             self._udp.close()
         self._server.close()
         await self._server.wait_closed()
+
+    def _next_segment(self) -> int:
+        import re as _re
+
+        if not os.path.isdir(self.spool_dir):
+            return 0
+        mx = -1
+        for name in os.listdir(self.spool_dir):
+            m = _re.fullmatch(r"(?:_open_)?(\d{6})", name)
+            if m:
+                mx = max(mx, int(m.group(1)))
+        return mx + 1
 
     def rotate(self) -> int:
         """Seal the current segment; subsequent writes open a new one.

@@ -247,6 +247,40 @@ def test_events_pipelined_behind_ping_not_dropped(spark, tmp_path):
     assert stats["entries"] == 2, f"pipelined events dropped: {stats}"
 
 
+def test_restarted_server_never_reuses_segments(spark, tmp_path):
+    """A daemon restarted on the same spool dir must resume segment
+    numbering PAST what's on disk — appending to a segment an earlier
+    process wrote would silently lose those entries to any stream that
+    already consumed the file (files are read once), and the
+    hidden-active seal rename would crash on the existing dir."""
+
+    async def run_one(gen, hidden):
+        srv = ForwardServer(str(tmp_path / "spool"), hidden_active=hidden)
+        await srv.start()
+        try:
+            cli = ForwardClient("127.0.0.1", srv.port)
+            await cli.connect()
+            await cli.send_raw(_message_frame("t.a", T0 + gen, {"gen": gen}))
+            await cli.close()
+            await asyncio.sleep(0.1)
+        finally:
+            await srv.stop()
+            srv.rotate()
+        return srv
+
+    asyncio.run(run_one(0, False))
+    asyncio.run(run_one(1, False))
+    asyncio.run(run_one(2, True))  # hidden-active restart seals cleanly
+
+    segs = sorted(p.name for p in (tmp_path / "spool").iterdir())
+    assert segs == ["000000", "000001", "000002"], segs
+
+    from fluent_server_spark.sources.fluentfile import read_spool_files
+
+    rows = read_spool_files(spark, str(tmp_path / "spool" / "*")).collect()
+    assert sorted(r["record"]["gen"] for r in rows) == ["0", "1", "2"]
+
+
 def test_concurrent_clients_interleave_without_loss(spark, tmp_path):
     """Many simultaneous connections, each pipelining acked frames while
     rotations happen mid-stream: every entry must land exactly once and
