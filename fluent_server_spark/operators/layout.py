@@ -46,9 +46,17 @@ def _bucketize(
             F.lit(0),
             lambda acc, x: acc + (col.cast("double") >= x).cast("int"),
         )
+    elif lo is None or hi is None or hi <= lo:
+        # constant (or all-null) column: one bucket — it contributes no
+        # discrimination, but the z-value must stay well-defined
+        b = F.lit(0)
     else:
         b = F.width_bucket(col.cast("double"), F.lit(lo), F.lit(hi), F.lit(n)) - 1
-    return F.greatest(F.lit(0), F.least(F.lit(n - 1), b.cast("int")))
+    # NULL values (and any width_bucket null) land in bucket 0 rather
+    # than nulling the whole interleaved z-value
+    return F.greatest(
+        F.lit(0), F.least(F.lit(n - 1), F.coalesce(b.cast("int"), F.lit(0)))
+    )
 
 
 def with_zvalue(

@@ -98,6 +98,19 @@ def test_zvalue_interleaves_bits(spark):
     assert got[(255, 0)] == sum(1 << (2 * b) for b in range(8))
 
 
+def test_constant_and_null_columns_stay_well_defined(spark):
+    """A constant (or partially-null) clustered column must not null the
+    z-value — it contributes bucket 0 everywhere and the other dims
+    still discriminate."""
+    df = spark.createDataFrame(
+        [(1, 7.0, 0.0), (2, 7.0, 50.0), (3, None, 99.0)],
+        "id int, x double, y double",
+    )
+    rows = {r["id"]: r["zvalue"] for r in with_zvalue(df, ["x", "y"], bits=4).collect()}
+    assert all(v is not None for v in rows.values())
+    assert rows[1] != rows[2]  # y still discriminates
+
+
 def test_equal_depth_boundaries(spark):
     # skewed x: 99% of mass at x=0; equal-width buckets collapse, the
     # quantile boundaries still split the heavy region's files
