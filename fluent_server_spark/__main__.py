@@ -203,6 +203,11 @@ def _run_live_edge(args) -> int:
                 break  # bounded-run mode for tests/smoke
     except KeyboardInterrupt:
         pass
+    # a second SIGTERM arriving mid-drain (an impatient supervisor
+    # re-signalling) must not propagate out of the drain block — that
+    # would skip srv.stop()/final rotate/processAllAvailable and abandon
+    # the tail segment. The first signal got us here; ignore the rest.
+    signal.signal(signal.SIGTERM, signal.SIG_IGN)
     # drain: stop intake, seal the tail segment, let the stream catch up
     asyncio.run_coroutine_threadsafe(srv.stop(), loop).result(timeout=30)
     sealed = threading.Event()

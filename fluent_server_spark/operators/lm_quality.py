@@ -102,8 +102,14 @@ def perplexity_band_filter(
     quantiles of the score table (bounded driver values); wordless docs
     are dropped with the gibberish tail."""
     scores = unigram_nll_scores(docs, model, id_col, text_col)
-    lo, hi = scores.filter(F.col("avg_nll").isNotNull()).approxQuantile(
+    qs = scores.filter(F.col("avg_nll").isNotNull()).approxQuantile(
         "avg_nll", [lo_quantile, hi_quantile], 0.001
     )
+    if not qs:
+        # every doc wordless -> all avg_nll NULL -> approxQuantile
+        # returns [] and there is no band; the correct result is empty,
+        # not an unpack ValueError
+        return docs.limit(0)
+    lo, hi = qs
     keep = scores.filter(F.col("avg_nll").between(lo, hi)).select(id_col)
     return docs.join(keep, id_col, "left_semi")

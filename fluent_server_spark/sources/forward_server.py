@@ -150,6 +150,8 @@ class ForwardServer:
         self._segment = 0
         self._ssl = ssl_context
         self._lock = asyncio.Lock()
+        self._conn_tasks: set = set()
+        self._conn_writers: set = set()
         self.stats = {
             "connections": 0,
             "entries": 0,
@@ -160,6 +162,15 @@ class ForwardServer:
 
     # ------------------------------------------------------------ lifecycle
     async def start(self) -> None:
+        # crash recovery: a daemon that died WITHOUT a final rotate
+        # (SIGKILL / OOM / power loss) leaves an `_open_NNNNNN` working
+        # dir whose entries were already ACKed to clients — and the
+        # underscore prefix hides it from every batch scan and streaming
+        # tail forever. Seal those leftovers (rename to the visible name)
+        # before serving: safe under the same single-writer-per-spool
+        # assumption _next_segment() already makes, and the new process
+        # numbers PAST them so it never appends to a sealed segment.
+        self._seal_leftovers()
         # resume segment numbering PAST anything already on disk: a
         # daemon restarted on the same spool must never append to (or
         # seal-rename onto) a segment an earlier process wrote — files a
@@ -184,6 +195,36 @@ class ForwardServer:
             self._udp.close()
         self._server.close()
         await self._server.wait_closed()
+        # wait_closed() only waits for in-flight connection handlers on
+        # Python >= 3.12.1 (gh-104344); on older runtimes a handler could
+        # append+ACK a frame AFTER stop() returns, landing entries in a
+        # fresh _open_ dir that the drain's final rotate never seals.
+        # Close the live transports (readers see EOF, handlers exit their
+        # loop) and await the handler tasks explicitly, so stop()
+        # returning guarantees no further appends on every version.
+        for w in list(self._conn_writers):
+            w.close()
+        if self._conn_tasks:
+            await asyncio.gather(*list(self._conn_tasks), return_exceptions=True)
+
+    def _seal_leftovers(self) -> None:
+        import re as _re
+
+        if not os.path.isdir(self.spool_dir):
+            return
+        for name in sorted(os.listdir(self.spool_dir)):
+            m = _re.fullmatch(r"_open_(\d{6})", name)
+            if not m:
+                continue
+            dst = os.path.join(self.spool_dir, m.group(1))
+            if os.path.exists(dst):
+                # impossible under single-writer (rotate renames, never
+                # copies) — refuse rather than clobber sealed data
+                raise RuntimeError(
+                    f"spool has both {name} and {m.group(1)}: "
+                    "two writers on one spool?"
+                )
+            os.rename(os.path.join(self.spool_dir, name), dst)
 
     def _next_segment(self) -> int:
         import re as _re
@@ -293,6 +334,9 @@ class ForwardServer:
     # ------------------------------------------------------------- sessions
     async def _handle(self, reader, writer) -> None:
         self.stats["connections"] += 1
+        task = asyncio.current_task()
+        self._conn_tasks.add(task)
+        self._conn_writers.add(writer)
         try:
             buf = bytearray()
             if self.shared_key is not None:
@@ -322,6 +366,8 @@ class ForwardServer:
                     break
                 buf += chunk
         finally:
+            self._conn_tasks.discard(task)
+            self._conn_writers.discard(writer)
             writer.close()
             try:
                 await writer.wait_closed()

@@ -676,3 +676,185 @@ def test_cli_forward_server_mode(tmp_path):
             proc.kill()
     spools = list((tmp_path / "spool").rglob("cli.tag.msgpack"))
     assert len(spools) == 1
+
+
+def test_crash_leftover_open_segment_sealed_on_restart(spark, tmp_path):
+    """A hidden_active daemon that dies WITHOUT a final rotate (SIGKILL/
+    OOM/power loss) leaves an `_open_NNNNNN` working dir whose entries
+    were already ACKed to clients — and the underscore prefix hides it
+    from every batch scan and streaming tail forever. start() must seal
+    the leftover (no acked data lost) and number past it."""
+
+    async def crash_run():
+        srv = ForwardServer(str(tmp_path / "spool"), hidden_active=True)
+        await srv.start()
+        try:
+            cli = ForwardClient("127.0.0.1", srv.port)
+            await cli.connect()
+            ack = await cli.send_raw(
+                _message_frame("t.a", T0, {"gen": 0}, option={"chunk": "x"}),
+                await_ack=True,
+            )
+            assert ack == {"ack": "x"}
+            await cli.close()
+        finally:
+            await srv.stop()  # NO rotate — simulates dying mid-epoch
+
+    asyncio.run(crash_run())
+    assert [p.name for p in (tmp_path / "spool").iterdir()] == ["_open_000000"]
+
+    async def restart_run():
+        srv = ForwardServer(str(tmp_path / "spool"), hidden_active=True)
+        await srv.start()
+        try:
+            assert srv._segment == 1  # numbered past the sealed leftover
+            cli = ForwardClient("127.0.0.1", srv.port)
+            await cli.connect()
+            await cli.send_raw(_message_frame("t.a", T0 + 1, {"gen": 1}))
+            await cli.close()
+            await asyncio.sleep(0.1)
+        finally:
+            await srv.stop()
+            srv.rotate()
+
+    asyncio.run(restart_run())
+    segs = sorted(p.name for p in (tmp_path / "spool").iterdir())
+    assert segs == ["000000", "000001"], segs
+
+    from fluent_server_spark.sources.fluentfile import read_spool_files
+
+    rows = read_spool_files(spark, str(tmp_path / "spool" / "*")).collect()
+    assert sorted(r["record"]["gen"] for r in rows) == ["0", "1"]
+
+
+def test_stop_terminates_idle_inflight_connections(tmp_path):
+    """stop() must not rely on wait_closed() waiting for in-flight
+    handlers (only true on Python >= 3.12.1, gh-104344): it closes live
+    transports and awaits the handler tasks explicitly, so stop()
+    returning guarantees no further appends on every runtime."""
+
+    async def scenario():
+        srv = ForwardServer(str(tmp_path / "spool"))
+        await srv.start()
+        r, w = await asyncio.open_connection("127.0.0.1", srv.port)
+        await asyncio.sleep(0.05)  # let the handler task start
+        assert len(srv._conn_tasks) == 1
+        await asyncio.wait_for(srv.stop(), timeout=5)  # idle client must not hang it
+        assert not srv._conn_tasks and not srv._conn_writers
+        assert await r.read() == b""  # server hung up; client sees EOF
+        w.close()
+
+    asyncio.run(scenario())
+
+
+def test_cli_live_edge_kill9_crash_recovery(spark, tmp_path, turns_pdf):
+    """The end-to-end exactly-once claim under a hard crash: the whole
+    live-edge process tree is SIGKILLed mid-epoch with acked chunks in
+    flight, then restarted on the same spool/checkpoint/sinks. No acked
+    entry may be lost (start() seals the leftover `_open_` segment) and
+    no segment may be double-ingested (stream checkpoint skips files the
+    first life already read; the file-sink manifest governs reads)."""
+    import json
+    import os
+    import signal as _signal
+    import subprocess
+    import sys
+
+    from fluent_server_spark.data.synth import ROUTE_RULE_ROWS, lookup_df
+    from fluent_server_spark.functions.parse import parse_turns
+    from fluent_server_spark.operators.enrich import enrich_turns
+    from fluent_server_spark.operators.route import route_turns, rules_from_rows
+
+    sample = turns_pdf.head(200)
+    spool, sinks, ck = (str(tmp_path / x) for x in ("spool", "sinks", "ck"))
+    env = {**os.environ, "PYTHONPATH": "/root/repo"}
+
+    def argv(max_seconds):
+        return [sys.executable, "-m", "fluent_server_spark",
+                "--live-edge", spool, "--sinks", sinks, "--checkpoint", ck,
+                "--host", "127.0.0.1", "--port", "0", "--cpus", "4",
+                "--rotate-seconds", "1.0", "--max-seconds", str(max_seconds)]
+
+    entries = [
+        (
+            int(row.ts.timestamp()),
+            {
+                "conv_id": row.conv_id,
+                "turn_idx": int(row.turn_idx),
+                "role": row.role,
+                "text": row.text,
+                "tool": row.tool,
+            },
+        )
+        for row in sample.itertuples()
+    ]
+
+    # life 1: acked chunk a (sealed by the rotate timer, likely committed
+    # by the stream), acked chunk b (still in an _open_ working dir) —
+    # then SIGKILL the whole process group (python driver + JVM), so
+    # nothing drains and no final rotate runs
+    proc = subprocess.Popen(
+        argv(300), stdout=subprocess.PIPE, text=True, cwd="/root/repo",
+        env=env, start_new_session=True,
+    )
+    try:
+        banner = json.loads(proc.stdout.readline())
+        port = banner["live_edge"]["port"]
+
+        async def send():
+            cli = ForwardClient("127.0.0.1", port)
+            await cli.connect()
+            half = len(entries) // 2
+            a1 = await cli.send_raw(
+                _forward_frame("transcripts", entries[:half],
+                               option={"chunk": "a"}),
+                await_ack=True,
+            )
+            # let the rotate timer seal chunk a's segment so the kill
+            # exercises BOTH paths: replay-skip for a sealed (possibly
+            # committed) segment, leftover-seal for the open one
+            await asyncio.sleep(2.5)
+            a2 = await cli.send_raw(
+                _forward_frame("transcripts", entries[half:],
+                               option={"chunk": "b"}),
+                await_ack=True,
+            )
+            return a1, a2
+
+        assert asyncio.run(send()) == ({"ack": "a"}, {"ack": "b"})
+    finally:
+        os.killpg(os.getpgid(proc.pid), _signal.SIGKILL)
+        proc.wait(timeout=30)
+
+    segs = sorted(p.name for p in (tmp_path / "spool").iterdir())
+    assert segs, "chunks were acked, so spool segments must exist"
+
+    # life 2: same spool/sinks/checkpoint, no new data, bounded run —
+    # the restart must seal leftovers, drain everything, and report
+    # counts equal to routing the same turns directly in batch
+    proc2 = subprocess.Popen(
+        argv(20), stdout=subprocess.PIPE, text=True, cwd="/root/repo", env=env,
+    )
+    try:
+        json.loads(proc2.stdout.readline())  # banner
+        out, _ = proc2.communicate(timeout=240)
+        assert proc2.returncode == 0
+        final = json.loads(out.strip().splitlines()[-1])
+        got = final["sink_counts"]
+    finally:
+        if proc2.poll() is None:
+            proc2.kill()
+
+    assert not any(
+        p.name.startswith("_open_") for p in (tmp_path / "spool").iterdir()
+    ), "restart must have sealed every leftover working dir"
+
+    direct = route_turns(
+        enrich_turns(parse_turns(spark.createDataFrame(sample)), lookup_df(spark)),
+        rules_from_rows(ROUTE_RULE_ROWS),
+    )
+    want = {
+        r["sink"]: r["n"]
+        for r in direct.groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want and sum(got.values()) == len(sample)

@@ -97,3 +97,15 @@ def test_band_filter_drops_both_tails(spark, corpus):
     assert 9 not in kept  # gibberish tail (highest NLL)
     assert 10 not in kept  # wordless
     assert kept and kept <= set(range(1, 9))  # the normal band survives
+
+
+def test_band_filter_all_wordless_corpus_returns_empty(spark):
+    """Every doc wordless -> every avg_nll NULL -> approxQuantile has no
+    values and returns []; the filter must return the (correct) empty
+    result instead of raising an opaque unpack ValueError."""
+    sdf = spark.createDataFrame(
+        [(0, "   "), (1, ""), (2, "\t\n")], "doc_id long, text string"
+    )
+    out = perplexity_band_filter(sdf)
+    assert out.count() == 0
+    assert out.columns == sdf.columns
