@@ -69,7 +69,12 @@ HEADLINE_QUERIES = [
     "tfidf_top_terms",
     "pii_scrub_stats",
     "doc_chunk_stats",
-    "event_funnel_depth",
+    # r5: funnel + heavy-hitters merged into user_journey (per-user
+    # grain), and the two operators promoted to the driver surface
+    # joined the headline set
+    "user_journey",
+    "substring_dedup",
+    "perplexity_band",
     "event_cube_stats",
     "user_value_deciles",
     "event_window_stats",

@@ -832,6 +832,129 @@ WHERE levenshtein(a.head, b.head) <= {FUZZY_MAX_DIST}
 """
 
 
+SUBSTR_K = 20
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (Lee et al. 2022 shape,
+    operators/substring_dedup.py): every duplicated >= 20-char span cut
+    from the corpus, canonical (global-first) occurrences kept. The
+    oracle replays the fingerprint -> canonicalize -> mark -> merge ->
+    cut plan as window SQL grouping on the LITERAL gram text — equal to
+    the engine's xxhash64 grouping absent a 2^-64 hash collision (the
+    same contract as every hashed-shingle oracle in this module)."""
+    from fluent_server_spark.operators.substring_dedup import dedup_substrings
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_substrings(spread(docs), k=SUBSTR_K).select(
+        "doc_id", "text_dedup", "n_removed_chars"
+    )
+
+
+SQL_SUBSTRING_DEDUP = f"""
+WITH g AS (
+  SELECT doc_id, pos, substr(text, pos, {SUBSTR_K}) AS gram
+  FROM (SELECT doc_id, text,
+               unnest(range(1, length(text) - {SUBSTR_K} + 2)) AS pos
+        FROM documents WHERE length(text) >= {SUBSTR_K})),
+r AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY gram) AS c,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM g),
+m AS (SELECT doc_id, pos FROM r WHERE c > 1 AND rn > 1),
+i AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + {SUBSTR_K}) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM m),
+grp AS (
+  SELECT doc_id, pos, sum(new_island) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM i),
+spans AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) + {SUBSTR_K} AS e
+  FROM grp GROUP BY doc_id, island),
+cuts AS (
+  SELECT doc_id, s, e,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS pe
+  FROM spans),
+pieces AS (
+  SELECT d.doc_id,
+         string_agg(substr(d.text, c.pe, c.s - c.pe), '' ORDER BY c.s) AS head,
+         max(c.e) AS last_e
+  FROM documents d JOIN cuts c USING (doc_id) GROUP BY d.doc_id),
+cut AS (
+  SELECT d.doc_id,
+         CASE WHEN p.doc_id IS NULL THEN d.text
+              ELSE p.head || substr(d.text, p.last_e,
+                                    length(d.text) - p.last_e + 1)
+         END AS text_dedup,
+         d.text
+  FROM documents d LEFT JOIN pieces p USING (doc_id))
+SELECT doc_id, text_dedup,
+       CAST(length(text) - length(text_dedup) AS INT) AS n_removed_chars
+FROM cut
+"""
+
+
+def q_perplexity_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-perplexity quality banding
+    (operators/lm_quality.py) in its oracle-replayable configuration:
+    NLL scores from the self-trained corpus unigram model (one
+    word-count agg + one equi-join + one keyed agg, zero UDFs), banded
+    by EXACT decile rank over (avg_nll, doc_id) — a total order — via
+    the DISTRIBUTED exact ntile (operators/ranking.py: range exchange +
+    broadcast offsets, no single-partition sort). `kept` marks the
+    middle band (deciles 2-9), the head/tail-drop semantics of
+    perplexity_band_filter; that operator's approxQuantile band edges
+    remain the constant-memory path when exact decile ranking is not
+    required. Wordless docs (NULL score) drop with the gibberish tail."""
+    from fluent_server_spark.operators.lm_quality import unigram_nll_scores
+    from fluent_server_spark.operators.ranking import with_global_ntile
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = unigram_nll_scores(docs).filter(F.col("avg_nll").isNotNull())
+    tiled = with_global_ntile(
+        scores, 10, [F.asc("avg_nll"), F.asc("doc_id")], out="decile"
+    )
+    return tiled.select(
+        "doc_id",
+        "n_words",
+        "avg_nll",
+        "decile",
+        ((F.col("decile") > 1) & (F.col("decile") < 10)).alias("kept"),
+    )
+
+
+SQL_PERPLEXITY_BAND = """
+WITH w AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(coalesce(text, ''))),
+                                        '\\s+')) AS w
+    FROM documents) WHERE w <> ''),
+model AS (SELECT w, count(*) AS n FROM w GROUP BY w),
+tot AS (SELECT sum(n) AS nt, count(*) AS v FROM model),
+scored AS (
+  SELECT doc_id, -ln((model.n + 1.0) / (tot.nt + 1.0 * (tot.v + 1))) AS nll
+  FROM w JOIN model USING (w) CROSS JOIN tot),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_words, round(avg(nll), 6) AS avg_nll
+  FROM scored GROUP BY doc_id),
+tiled AS (
+  SELECT doc_id, n_words, avg_nll,
+         ntile(10) OVER (ORDER BY avg_nll, doc_id) AS decile
+  FROM per_doc)
+SELECT doc_id, n_words, avg_nll, decile,
+       decile > 1 AND decile < 10 AS kept
+FROM tiled
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "exact_dedup_docs": QuerySpec(q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
     "clean_corpus": QuerySpec(q_clean_corpus, SQL_CLEAN_CORPUS),
@@ -854,4 +977,7 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_chunk_stats": QuerySpec(q_doc_chunk_stats, SQL_DOC_CHUNK_STATS),
     "fuzzy_neardup_pairs": QuerySpec(q_fuzzy_neardup_pairs, SQL_FUZZY_NEARDUP_PAIRS),
     "corpus_splits": QuerySpec(q_corpus_splits, SQL_CORPUS_SPLITS),
+    # r5: registered out of the two slots freed by the user_journey merge
+    "substring_dedup": QuerySpec(q_substring_dedup, SQL_SUBSTRING_DEDUP),
+    "perplexity_band": QuerySpec(q_perplexity_band, SQL_PERPLEXITY_BAND),
 }

@@ -404,28 +404,54 @@ ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') err
 
 
 def q_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user ordered event reconstruction — the mirror's per-tag
-    append list (reference mirror/mirror.go:16) as a first-class query:
-    collect_list + array_sort gives the stable-order sequence, joined to
-    one string so the oracle compare is engine-neutral."""
+    """Per-user profile — the ROUND-5 MERGE of three per-user-grain
+    queries (freeing driver slots for substring_dedup/perplexity_band;
+    COVERAGE.md §"50-query surface"), all claims kept live:
+
+    * ordered event reconstruction (the mirror's per-tag append list,
+      reference mirror/mirror.go:16): array_sort(collect_list) joined to
+      one string — `journey`;
+    * heavy-hitter counting via the two-phase SALTED aggregation
+      (operators/skew.py::salted_count — the formulation that survives a
+      single key holding 30% of 10^12 rows): `n_events` IS the salted
+      count, `is_heavy` the HAVING-threshold flag;
+    * single-pass ordered-funnel depth (operators/aggregates.py::
+      funnel_depth_scan, one keyed exchange + greedy array fold):
+      `funnel_depth`.
+
+    All three aggregate on user_id, so the joins are co-partitioned on
+    the key they already shuffled on (no extra exchange pattern at
+    scale). The un-merge toggle (queries/unmerged.py) re-exposes
+    heavy_users and event_funnel_depth as views over this query."""
+    from fluent_server_spark.operators.aggregates import funnel_depth_scan
+    from fluent_server_spark.operators.skew import salted_count
+
     events = load_table(spark, sf_dir, "events")
     seq = F.array_sort(
         F.collect_list(F.struct("ts", "event_id", "event_type"))
     )
-    return events.groupBy("user_id").agg(
+    journey = events.groupBy("user_id").agg(
         F.array_join(
             F.transform(seq, lambda x: x["event_type"]), "|"
         ).alias("journey"),
-        F.count(F.lit(1)).alias("n_events"),
+    )
+    counts = salted_count(events, "user_id", n_salt=16)
+    funnel = funnel_depth_scan(events, FUNNEL_STAGES)
+    return (
+        journey.join(counts, "user_id")
+        .join(funnel, "user_id")
+        .select(
+            "user_id",
+            "journey",
+            F.col("n").alias("n_events"),
+            (F.col("n") >= HEAVY_USER_MIN).alias("is_heavy"),
+            "funnel_depth",
+        )
     )
 
 
-SQL_USER_JOURNEY = """
-SELECT user_id,
-       string_agg(event_type, '|' ORDER BY ts, event_id) AS journey,
-       count(*) AS n_events
-FROM events GROUP BY user_id
-"""
+# SQL_USER_JOURNEY is built after SQL_EVENT_FUNNEL_DEPTH below (its
+# oracle embeds the funnel CTE chain)
 
 HEAVY_USER_MIN = 50
 
@@ -579,6 +605,18 @@ FROM (SELECT DISTINCT user_id FROM events) k {joins}
 
 
 SQL_EVENT_FUNNEL_DEPTH = _sql_event_funnel_depth()
+
+SQL_USER_JOURNEY = f"""
+WITH j AS (
+  SELECT user_id,
+         string_agg(event_type, '|' ORDER BY ts, event_id) AS journey,
+         count(*) AS n_events
+  FROM events GROUP BY user_id),
+f AS ({SQL_EVENT_FUNNEL_DEPTH})
+SELECT j.user_id, j.journey, j.n_events,
+       j.n_events >= {HEAVY_USER_MIN} AS is_heavy, f.funnel_depth
+FROM j JOIN f USING (user_id)
+"""
 
 
 def q_event_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -758,11 +796,12 @@ QUERIES: dict[str, QuerySpec] = {
     "packed_training_chunks": QuerySpec(
         q_packed_training_chunks, SQL_PACKED_TRAINING_CHUNKS
     ),
-    "event_funnel_depth": QuerySpec(q_event_funnel_depth, SQL_EVENT_FUNNEL_DEPTH),
+    # event_funnel_depth and heavy_users merged into user_journey in r5
+    # (their functions remain as pytest cross-checks; the un-merge
+    # toggle re-exposes them as driver-checkable views)
     "tagged_route_counts": QuerySpec(q_tagged_route_counts, SQL_TAGGED_ROUTE_COUNTS),
     "asof_last_error": QuerySpec(q_asof_last_error, SQL_ASOF_LAST_ERROR),
     "user_journey": QuerySpec(q_user_journey, SQL_USER_JOURNEY),
-    "heavy_users": QuerySpec(q_heavy_users, SQL_HEAVY_USERS),
     "event_value_dispersion": QuerySpec(
         q_event_value_dispersion, SQL_EVENT_VALUE_DISPERSION
     ),

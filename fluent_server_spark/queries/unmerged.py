@@ -75,6 +75,20 @@ _SPLITS: dict[str, tuple[str, object, str]] = {
         lambda df: df.select("split", "source", "n_mix", "mix_chars"),
         "SELECT split, source, n_mix, mix_chars FROM ({sql})",
     ),
+    # r5 merge: user_journey absorbed the funnel and the salted
+    # heavy-hitter count (all per-user grain)
+    "event_funnel_depth": (
+        "user_journey",
+        lambda df: df.select("user_id", "funnel_depth"),
+        "SELECT user_id, funnel_depth FROM ({sql})",
+    ),
+    "heavy_users": (
+        "user_journey",
+        lambda df: df.filter(F.col("is_heavy")).select(
+            "user_id", F.col("n_events").alias("n")
+        ),
+        "SELECT user_id, n_events AS n FROM ({sql}) WHERE is_heavy",
+    ),
 }
 
 

@@ -139,12 +139,31 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Generate"],
         ["Exchange", "Join", "CartesianProduct"],
     ),
-    # r3 funnel: SINGLE-PASS — one keyed aggregation (collect + greedy
-    # array fold), ONE exchange, no joins at all (the k-join chain
-    # survives as the pytest/oracle cross-check only)
-    "event_funnel_depth": (
-        ["HashAggregate|ObjectHashAggregate|SortAggregate"],
-        ["Join", "CartesianProduct"],
+    # r5 merge: journey + salted heavy-hitter count + single-pass funnel,
+    # all per-user grain — keyed hash joins on user_id only, never a
+    # nested loop (the standalone funnel's no-join claim is audited
+    # separately in EXTRA_PLANS)
+    "user_journey": (
+        ["HashAggregate|ObjectHashAggregate", "BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "Python"],
+    ),
+    # r5: substring dedup (Lee et al. '22 shape) — explode to stride-1
+    # grams (Generate), canonicalize agg (partial+final), mark equi-join,
+    # gaps-and-islands window, Catalyst text rebuild: NO Python anywhere
+    "substring_dedup": (
+        ["Generate", "HashAggregate", "Window",
+         "BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "Python"],
+    ),
+    # r5: unigram-NLL band — model is a TABLE (keyed join, zero UDFs);
+    # the normalization constants ride a 1-ROW broadcast (that is the
+    # BroadcastNestedLoopJoin here: bounded by construction, the
+    # documented pattern); exact decile via the distributed ntile (range
+    # exchange; its SinglePartition window runs over #partitions rows)
+    "perplexity_band": (
+        ["HashAggregate", "Exchange rangepartitioning",
+         "BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin"],
+        ["CartesianProduct", "Python"],
     ),
     # CUBE: one Expand + partial/final agg, no joins
     "event_cube_stats": (
@@ -199,6 +218,72 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
 }
 
 
+def _extra_plans():
+    """Plans for operators with no (or no longer a) registry query of
+    their own — name -> (df_factory(spark), must, must_not). Their 100 TB
+    docstring claims are asserted here exactly like the registry set."""
+    from fluent_server_spark.operators.layout import zorder_layout
+    from fluent_server_spark.operators.sketches import (
+        count_min_build,
+        count_min_estimate,
+        count_min_merge,
+    )
+    from fluent_server_spark.queries import load_table
+    from fluent_server_spark.queries.events import q_event_funnel_depth
+
+    def docs(spark):
+        return load_table(spark, SF, "documents")
+
+    return {
+        # the r3 single-pass funnel claim (merged into user_journey in
+        # r5): one keyed aggregation, ONE exchange, no joins at all
+        "event_funnel_depth (standalone)": (
+            lambda spark: q_event_funnel_depth(spark, SF),
+            ["HashAggregate|ObjectHashAggregate|SortAggregate"],
+            ["Join", "CartesianProduct", "Python"],
+        ),
+        # CMS build: one Generate (explode to depth rows) + partial/final
+        # agg — the shuffle carries depth*width counters per partition,
+        # never per input row; no join, no Python
+        "count_min_build": (
+            lambda spark: count_min_build(docs(spark), "source"),
+            ["Generate", "HashAggregate", "Exchange hashpartitioning"],
+            ["Join", "CartesianProduct", "Python"],
+        ),
+        # CMS merge: union + sum — aggregates only (merge == build-on-
+        # union is pinned bit-exact in tests/test_sketches.py)
+        "count_min_merge": (
+            lambda spark: count_min_merge(
+                count_min_build(docs(spark), "source"),
+                count_min_build(docs(spark), "source"),
+            ),
+            ["HashAggregate"],
+            ["Join", "CartesianProduct", "Python"],
+        ),
+        # CMS point estimates: probes equi-join the BROADCAST constant-
+        # size sketch — never a scan of the original stream
+        "count_min_estimate": (
+            lambda spark: count_min_estimate(
+                count_min_build(docs(spark), "source"),
+                docs(spark).select("source").distinct(),
+                "source",
+            ),
+            ["BroadcastHashJoin", "HashAggregate"],
+            ["SortMergeJoin", "CartesianProduct", "Python"],
+        ),
+        # Z-order write layout: ONE range exchange on the Morton code +
+        # in-partition sort; the min/max bounds agg is a separate bounded
+        # one-row collect, so the layout plan itself is exchange+sort only
+        "zorder_layout": (
+            lambda spark: zorder_layout(
+                load_table(spark, SF, "events"), ["user_id", "value"], 16
+            ),
+            ["Exchange rangepartitioning", "Sort"],
+            ["Join", "CartesianProduct", "Python", "Exchange hashpartitioning"],
+        ),
+    }
+
+
 def main() -> int:
     from fluent_server_spark.queries import all_queries
     from fluent_server_spark.session import get_spark
@@ -216,8 +301,15 @@ def main() -> int:
         "must have at 100 TB. `explain('formatted')` excerpts below.\n\n"
     )
     failures = []
-    for name, (must, must_not) in EXPECTATIONS.items():
-        df = specs[name].fn(spark, SF)
+    audits = [
+        (name, lambda s, _n=name: specs[_n].fn(s, SF), must, must_not)
+        for name, (must, must_not) in EXPECTATIONS.items()
+    ] + [
+        (name, factory, must, must_not)
+        for name, (factory, must, must_not) in _extra_plans().items()
+    ]
+    for name, factory, must, must_not in audits:
+        df = factory(spark)
         plan = df._jdf.queryExecution().executedPlan().toString()
         formatted = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"

@@ -39,6 +39,9 @@ MERGED_CLAIM_COLUMNS = {
     },
     "corpus_splits": {"split", "source", "n_docs", "total_chars",
                       "n_mix", "mix_chars"},
+    # r5: user_journey absorbed heavy_users (salted count + threshold)
+    # and event_funnel_depth (single-pass funnel scan)
+    "user_journey": {"journey", "n_events", "is_heavy", "funnel_depth"},
 }
 
 
@@ -78,7 +81,7 @@ def test_unmerged_toggle_appends_split_views(spark):
     names = list(full)
     assert names[:50] == base
     splits = names[50:]
-    assert len(splits) == 8
+    assert len(splits) == 10
 
     import sys
 
