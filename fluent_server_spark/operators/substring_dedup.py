@@ -71,13 +71,92 @@ def gram_positions(
     )
 
 
+def winnowed_gram_positions(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    w: int = 8,
+) -> DataFrame:
+    """(id, pos, h): WINNOWING fingerprint selection (Schleimer,
+    Wilkerson & Aiken, SIGMOD 2003 — the standard mitigation when
+    stride-1 is too hot): of every window of `w` consecutive gram
+    hashes keep the rightmost minimum. Expected density is 2/(w+1) of
+    stride-1, so the canonicalize shuffle carries ~(w+1)/2 x fewer rows
+    at the same O(total chars) narrow scan cost.
+
+    Approximation contract (vs the exact stride-1 grams):
+    * selection is CONTENT-DEFINED — a position's fate depends only on
+      the k+w-1 chars ending at its gram's last char, so both copies of
+      any duplicated region pick IDENTICAL interior fingerprints and
+      the mark->merge->cut machinery works unchanged;
+    * duplicated spans of length >= w + k - 1 are guaranteed detected
+      (every w consecutive grams contain a selection); shorter ones may
+      be missed, and up to ~w-1 chars at a span's edges can survive the
+      cut (the first/last selected gram needn't sit at the span edge);
+    * choose w <= k so consecutive selected marks ([pos, pos+k) spaced
+      <= w apart) always chain into one island inside a duplicated
+      region.
+
+    Plan shape: the selection runs INSIDE the per-doc gram array
+    (transform + slice + array_min, all codegen) before the explode —
+    no exchange is added; the O(w) window min per position is CPU, not
+    shuffle. The gram array is materialized as a column first so the
+    two references below (transform input + slice inside the lambda)
+    stay one evaluation per row (CollapseProject keeps multi-referenced
+    non-trivial aliases un-inlined)."""
+    text = F.col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(text) - k + 1),
+        lambda i: F.struct(
+            F.xxhash64(text.substr(i, F.lit(k))).alias("h"),
+            (-i).alias("negpos"),  # min(struct) tie-break => RIGHTMOST pos
+        ),
+    )
+    with_g = docs.filter(F.length(text) >= k).withColumn("_grams", grams)
+    garr = F.col("_grams")
+    sel_arr = F.array_distinct(
+        F.transform(
+            garr,
+            # window ENDING at 0-based index e covers 1-based positions
+            # [max(e+2-w, 1), e+1]; its struct-min is the rightmost
+            # minimal hash — the paper's selection rule
+            lambda _g, e: F.array_min(
+                F.slice(
+                    garr,
+                    F.greatest(e + 2 - w, F.lit(1)),
+                    F.least(e + 1, F.lit(w)),
+                )
+            ),
+        )
+    )
+    return (
+        with_g.select(id_col, F.explode(sel_arr).alias("s"))
+        .select(
+            id_col,
+            (-F.col("s.negpos")).cast("int").alias("pos"),
+            "s.h",
+        )
+    )
+
+
 def duplicate_spans(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 20
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    winnow_w: int | None = None,
 ) -> DataFrame:
     """(id, start, end): maximal char spans to REMOVE — every occurrence
     of duplicated >= k-grams except the canonical (global-first) one,
-    merged per doc. start is 1-based, end exclusive."""
-    g = gram_positions(docs, id_col, text_col, k)
+    merged per doc. start is 1-based, end exclusive. `winnow_w` switches
+    the fingerprint stage from exact stride-1 grams to the winnowing
+    selection (see winnowed_gram_positions for the approximation
+    contract)."""
+    if winnow_w is None:
+        g = gram_positions(docs, id_col, text_col, k)
+    else:
+        g = winnowed_gram_positions(docs, id_col, text_col, k, winnow_w)
     occ = F.struct(F.col(id_col), F.col("pos"))
     dup = (
         g.groupBy("h")
@@ -113,12 +192,19 @@ def duplicate_spans(
 
 
 def dedup_substrings(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 20
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    winnow_w: int | None = None,
 ) -> DataFrame:
     """The corpus with duplicated >= k-char spans CUT (canonical first
     occurrences kept): adds `text_dedup` and `n_removed_chars`. Docs
-    with nothing duplicated pass through byte-identical."""
-    spans = duplicate_spans(docs, id_col, text_col, k)
+    with nothing duplicated pass through byte-identical. `winnow_w`
+    selects the winnowing approximation path (sparser fingerprints,
+    ~(w+1)/2 x less canonicalize-shuffle volume; spans >= w+k-1
+    guaranteed, up to ~w-1 chars of edge slop per span)."""
+    spans = duplicate_spans(docs, id_col, text_col, k, winnow_w)
     per_doc = spans.groupBy(id_col).agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("start"), F.col("end")))

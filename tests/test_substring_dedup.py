@@ -121,3 +121,109 @@ def test_randomized_against_reference(spark):
         docs[i] = body
     for k in (12, 25):
         assert _run(spark, docs, k) == _py_reference(docs, k)
+
+
+def test_winnowing_matches_paper_selection_rule(spark):
+    """The array-world selection must equal the SIGMOD'03 rule computed
+    in python over the SAME hashes (a window ends at every gram, head
+    windows truncated): per window keep the rightmost minimal hash,
+    union over windows. Also pins the w-window guarantee and that the
+    selection is strictly sparser than stride-1."""
+    from fluent_server_spark.operators.substring_dedup import (
+        gram_positions,
+        winnowed_gram_positions,
+    )
+
+    rng = random.Random(11)
+    docs = {
+        i: "".join(rng.choice("abcdef ") for _ in range(rng.randint(30, 200)))
+        for i in range(6)
+    }
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    k, w = 8, 5
+    by_doc: dict[int, dict[int, int]] = {}
+    for r in gram_positions(sdf, k=k).collect():
+        by_doc.setdefault(r["doc_id"], {})[r["pos"]] = r["h"]
+    want = set()
+    for did, posmap in by_doc.items():
+        poss = sorted(posmap)
+        for e in range(len(poss)):
+            window = poss[max(0, e - w + 1): e + 1]
+            best = min(window, key=lambda p: (posmap[p], -p))
+            want.add((did, best, posmap[best]))
+    got = {
+        (r["doc_id"], r["pos"], r["h"])
+        for r in winnowed_gram_positions(sdf, k=k, w=w).collect()
+    }
+    assert got == want
+    n_all = sum(len(m) for m in by_doc.values())
+    assert len(got) < 0.6 * n_all  # expected density ~2/(w+1)
+    # the paper's guarantee: every w consecutive grams contain a pick
+    for did, posmap in by_doc.items():
+        sel = sorted(p for d, p, _ in got if d == did)
+        poss = sorted(posmap)
+        for s in range(len(poss) - w + 1):
+            assert any(p in sel for p in poss[s: s + w]), (did, s)
+
+
+def test_winnowed_dedup_cuts_long_spans_with_bounded_edge_slop(spark):
+    """Approximation contract of the winnowed path: a duplicated region
+    much longer than w+k-1 is cut from the non-canonical copy except
+    bounded edge slop; removal never exceeds the exact path's, stays
+    inside the shared region, and unique docs pass through untouched."""
+    rng = random.Random(3)
+
+    def rand_text(n: int) -> str:
+        return "".join(
+            rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(n)
+        )
+
+    shared = rand_text(300)
+    docs = {
+        0: rand_text(40) + shared + rand_text(35),
+        1: rand_text(90) + shared + rand_text(10),
+        2: rand_text(120),
+    }
+    k, w = 20, 8
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    winnowed = {
+        r["doc_id"]: r for r in dedup_substrings(sdf, k=k, winnow_w=w).collect()
+    }
+    exact = {r["doc_id"]: r for r in dedup_substrings(sdf, k=k).collect()}
+
+    assert winnowed[2]["text_dedup"] == docs[2]
+    assert winnowed[0]["text_dedup"] == docs[0]  # canonical copy kept whole
+    for i in (0, 1, 2):
+        assert winnowed[i]["n_removed_chars"] <= exact[i]["n_removed_chars"]
+    # doc 1's copy: interior guaranteed cut, <= bounded slop at edges
+    assert winnowed[1]["n_removed_chars"] >= len(shared) - (k + 3 * w)
+    # marks can only come from grams identical in both docs, i.e. fully
+    # inside the shared region: head and tail survive byte-identical
+    assert winnowed[1]["text_dedup"].startswith(docs[1][:90])
+    assert winnowed[1]["text_dedup"].endswith(docs[1][90 + len(shared):])
+
+
+def test_winnowed_selection_adds_no_exchange(spark):
+    """The winnowing window-min runs inside the per-doc gram array
+    (transform + slice + array_min) BEFORE the explode — it must not
+    introduce any exchange over the stride-1 plan (the density win is
+    pure shuffle-volume reduction, not traded for a new shuffle)."""
+    from fluent_server_spark.operators.substring_dedup import (
+        winnowed_gram_positions,
+    )
+
+    sdf = spark.createDataFrame(
+        [(0, "some text long enough to emit twenty-char grams")],
+        "doc_id long, text string",
+    )
+    plan = (
+        winnowed_gram_positions(sdf, k=20, w=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
