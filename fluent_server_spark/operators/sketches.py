@@ -107,3 +107,85 @@ def count_min_estimate(
         key_col, F.coalesce("cnt", F.lit(0)).alias("cnt")
     )
     return joined.groupBy(key_col).agg(F.min("cnt").alias("estimate"))
+
+
+# --------------------------------------------------------------- HyperLogLog
+
+
+def _hll_hash(key, salt: str):
+    """60 portable bits from the repo's standard md5 construction (same
+    contract as _bucket: any engine re-derives identical values)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), key.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def hll_build(
+    df: DataFrame, key_col: str, p: int = 12, salt: str = "hll"
+) -> DataFrame:
+    """(register, max_rank): sparse HyperLogLog registers (Flajolet,
+    Fuchs, Gandouet & Meunier, AofA 2007) — the DISTINCT-count companion
+    to the count-min frequency sketch above, same design stance: the
+    sketch IS a DataFrame (only registers that ever fired are rows), so
+    it is queryable, parquet-storable, and merged by union + max — the
+    idempotent/commutative shape that makes merge == build-on-union
+    EXACT (pinned bit-equal in tests), unlike the engine's built-in
+    `approx_count_distinct`, whose HLL++ state lives inside an opaque
+    aggregation buffer you cannot persist per-epoch as a table.
+
+    At 10^12 rows an exact COUNT(DISTINCT key) shuffles the key
+    universe; this is one map-side-combined aggregation into at most
+    2^p rows (p=12 -> 4096 registers, ~1.04/sqrt(m) ~= 1.6% standard
+    error) and per-epoch sketches merge without touching the stream
+    again. Rank arithmetic is integer-exact: bit length via base-2
+    string conversion, never floating log2 (whose boundary rounding
+    would corrupt ranks)."""
+    m = 1 << p
+    nbits = 60 - p
+    h = _hll_hash(F.col(key_col), salt)
+    rest = F.shiftrightunsigned(h, p)
+    bit_len = F.length(F.conv(rest.cast("string"), 10, 2))
+    rank = (
+        F.when(rest == 0, F.lit(nbits + 1))
+        .otherwise(F.lit(nbits + 1) - bit_len)
+        .cast("int")
+    )
+    return (
+        df.select((h % m).cast("int").alias("register"), rank.alias("rank"))
+        .groupBy("register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union + max: sketches built with the SAME (p, salt) merge
+    exactly (register max commutes with building from the concatenated
+    input)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("register").agg(F.max("max_rank").alias("max_rank"))
+
+
+def hll_estimate(sketch: DataFrame, p: int = 12) -> DataFrame:
+    """One-row DataFrame (n_registers_set, estimate): the bias-corrected
+    harmonic-mean estimator with the small-range linear-counting
+    correction (empty registers contribute 2^0 to the harmonic sum and
+    drive the linear-counting branch when estimates are small)."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("nz"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))).alias("hsum"),
+    )
+    raw = F.lit(alpha * m * m) / (F.col("hsum") + (F.lit(m) - F.col("nz")))
+    v = F.lit(m) - F.col("nz")
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    ).otherwise(raw)
+    return agg.select(
+        F.col("nz").alias("n_registers_set"),
+        F.round(est).cast("long").alias("estimate"),
+    )

@@ -227,6 +227,8 @@ def _extra_plans():
         count_min_build,
         count_min_estimate,
         count_min_merge,
+        hll_build,
+        hll_merge,
     )
     from fluent_server_spark.queries import load_table
     from fluent_server_spark.queries.events import q_event_funnel_depth
@@ -270,6 +272,24 @@ def _extra_plans():
             ),
             ["BroadcastHashJoin", "HashAggregate"],
             ["SortMergeJoin", "CartesianProduct", "Python"],
+        ),
+        # HLL build: one map-side-combined aggregation into <= 2^p rows
+        # — no Generate (unlike CMS, one register row per input row
+        # suffices), no join, no Python
+        "hll_build": (
+            lambda spark: hll_build(docs(spark), "source"),
+            ["HashAggregate", "Exchange hashpartitioning"],
+            ["Join", "CartesianProduct", "Python", "Generate"],
+        ),
+        # HLL merge: union + max — aggregates only (merge == build-on-
+        # union pinned bit-exact in tests/test_sketches.py)
+        "hll_merge": (
+            lambda spark: hll_merge(
+                hll_build(docs(spark), "source"),
+                hll_build(docs(spark), "lang"),
+            ),
+            ["HashAggregate"],
+            ["Join", "CartesianProduct", "Python", "Generate"],
         ),
         # Z-order write layout: ONE range exchange on the Morton code +
         # in-partition sort; the min/max bounds agg is a separate bounded

@@ -66,3 +66,71 @@ def test_weighted_sketch(spark):
         ).collect()
     }
     assert est["a"] >= 15 and est["b"] >= 1
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """p=12 -> 4096 registers -> ~1.6% standard error; the estimate on
+    30k distinct keys must land within a generous 3-sigma (5%), and the
+    duplicate-heavy stream must estimate its DISTINCT count, not its
+    row count."""
+    from fluent_server_spark.operators.sketches import hll_build, hll_estimate
+
+    n_distinct = 30_000
+    dupes = spark.range(n_distinct * 3).select(
+        (F.col("id") % n_distinct).cast("string").alias("key")
+    )
+    est = hll_estimate(hll_build(dupes, "key", p=12), p=12).collect()[0]
+    assert abs(est["estimate"] - n_distinct) <= 0.05 * n_distinct
+    assert est["n_registers_set"] <= 4096
+
+
+def test_hll_small_range_linear_counting(spark):
+    """Tiny cardinalities go through the linear-counting branch and
+    come out near-exact (a raw harmonic estimate would be biased)."""
+    from fluent_server_spark.operators.sketches import hll_build, hll_estimate
+
+    df = spark.range(50).select(F.col("id").cast("string").alias("key"))
+    est = hll_estimate(hll_build(df, "key", p=12), p=12).collect()[0]
+    assert abs(est["estimate"] - 50) <= 2
+
+
+def test_hll_merge_is_exact_and_idempotent(spark):
+    """merge(A, B) must be BIT-EQUAL to build(A union B) (register max
+    commutes with building from the concatenated input), and merging a
+    sketch with itself must change nothing (max is idempotent) — the
+    property that makes epoch re-ingest safe."""
+    from fluent_server_spark.operators.sketches import hll_build, hll_merge
+
+    base = spark.range(10_000).select(F.col("id").cast("string").alias("key"))
+    a = base.filter(F.col("id") % 2 == 0)
+    b = base.filter(F.col("id") % 2 == 1)
+
+    def rows(df):
+        return {(r["register"], r["max_rank"]) for r in df.collect()}
+
+    sa, sb = hll_build(a, "key"), hll_build(b, "key")
+    assert rows(hll_merge(sa, sb)) == rows(hll_build(base, "key"))
+    assert rows(hll_merge(sa, sa)) == rows(sa)
+
+
+def test_hll_rank_arithmetic_is_integer_exact(spark):
+    """The rank must be (60-p)+1 - bit_length(suffix) computed via
+    base-2 string length — pin a few hand-computed hashes end-to-end so
+    a refactor to floating log2 (boundary-rounding hazard) fails."""
+    import hashlib
+
+    from fluent_server_spark.operators.sketches import hll_build
+
+    p, salt = 12, "hll"
+    keys = ["a", "b", "c", "xyz", "42"]
+    want = {}
+    for k in keys:
+        h = int(hashlib.md5(f"{salt}:{k}".encode()).hexdigest()[:15], 16)
+        reg, rest = h % (1 << p), h >> p
+        rank = (60 - p) + 1 - rest.bit_length() if rest else (60 - p) + 1
+        want[reg] = max(want.get(reg, 0), rank)
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    got = {
+        r["register"]: r["max_rank"] for r in hll_build(df, "key", p=p).collect()
+    }
+    assert got == want
