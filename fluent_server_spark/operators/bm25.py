@@ -1,0 +1,136 @@
+"""BM25 top-k retrieval over a document corpus — the lexical-retrieval
+primitive of a RAG pipeline, as pure DataFrame relational algebra.
+
+Scoring is the Lucene/Okapi variant (Robertson et al., public):
+
+    score(q, d) = sum over t in q:  idf(t) * tf(t,d) * (k1 + 1)
+                                    / (tf(t,d) + k1 * (1 - b + b*dl/avgdl))
+    idf(t)      = ln( (N - df(t) + 0.5) / (df(t) + 0.5) + 1 )
+
+(the "+1" inside the log is Lucene's floor: idf stays positive even for
+terms in more than half the corpus, so scores are monotone in matches).
+
+Spark shape — an inverted index IS a DataFrame:
+
+* `bm25_index(docs)` builds postings (doc_id, term, tf) + doc lengths in
+  ONE tokenize + explode + groupBy pass, and term stats (df per term) in
+  one more agg over the postings. Both are plain hash aggregations with
+  map-side combine; at 100 TB you persist them partitioned by term —
+  they ARE the index, there is no driver-side structure anywhere.
+* `N` and `avgdl` are a one-row aggregate crossJoined onto the plan
+  (broadcast of 1 row — the same corpus-constant pattern as
+  operators/lm_quality.py's total-count join).
+* scoring a query set is: explode query terms (a SMALL table —
+  broadcast), equi-join postings ON term (only matching postings move),
+  per-(query,doc) hash agg of the per-term contributions, then one
+  window top-k per query. Cost is sum over query terms of df(t) — the
+  classic inverted-index bound — never a corpus scan per query.
+* stop-term skew: a query term with huge df drags df(t) postings into
+  the join; `max_df` drops terms seen in more than that fraction of
+  docs (the standard stop-list insurance, same dial as the Jaccard
+  count kernel's cap). Scores stay exact for the remaining terms.
+
+Everything is integer/float Catalyst expressions — no UDFs — and every
+step replays in ANSI SQL, so the driver oracle covers the whole path.
+
+Reference analogue: none (the reference routes events) — this is part
+of the training-data / RAG operator family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = r"\s+"
+
+
+def _tokens(text_col):
+    """lower + whitespace split, empty tokens dropped — the same
+    tokenizer the text-stats family uses (functions/text.py)."""
+    return F.filter(
+        F.split(F.lower(F.trim(text_col)), TOKEN_SPLIT), lambda t: t != ""
+    )
+
+
+def bm25_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, doclen): postings = (doc_id, term, tf); doclen =
+    (doc_id, dl). One explode + two hash aggs; both combine map-side."""
+    toks = docs.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    postings = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    doclen = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    return postings, doclen
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+    max_df: float | None = None,
+) -> DataFrame:
+    """Top-k docs per query by BM25. Returns (query_id, rk, doc_id,
+    score) with rk 1..k; ties break by doc_id so results are total.
+
+    `queries` is the SMALL side (a handful to thousands of rows) — its
+    exploded terms are broadcast into the postings join. Duplicate terms
+    within one query count once (set semantics, the common BM25 choice
+    for short queries).
+    """
+    postings, doclen = bm25_index(docs, id_col, text_col)
+
+    stats = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    corpus = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )  # one row
+
+    if max_df is not None:
+        stats = stats.crossJoin(F.broadcast(corpus.select("n_docs"))).filter(
+            F.col("df") <= F.lit(float(max_df)) * F.col("n_docs")
+        ).select("term", "df")
+
+    qterms = queries.select(
+        F.col(query_id_col), F.explode(_tokens(F.col(query_text_col))).alias("term")
+    ).distinct()
+
+    # restrict the (vocabulary-sized) term stats to the query terms
+    # BEFORE broadcasting: qstats has one row per (query, term) — tiny
+    qstats = qterms.join(stats, "term").join(F.broadcast(corpus), F.lit(True))
+
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    norm = F.col("tf") * (F.lit(k1) + 1.0) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+
+    scored = (
+        postings.join(F.broadcast(qstats), "term")
+        .join(doclen, id_col)
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum(idf * norm).alias("score"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, "rk", id_col, F.round("score", 6).alias("score"))
+    )

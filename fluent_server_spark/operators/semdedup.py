@@ -1,0 +1,154 @@
+"""SemDeDup — semantic deduplication via k-means cells + within-cell
+cosine pruning (Abbas et al. 2023, arXiv:2303.09540, public).
+
+Exact near-duplicate text dedup (minhash/simhash/substring families in
+operators/dedup.py) misses *semantic* duplicates: re-phrasings, format
+shifts, translations — documents whose EMBEDDINGS are close while their
+token sets are not. SemDeDup's published recipe:
+
+1. cluster the embedding space with k-means (k chosen so clusters stay
+   small — the paper uses ~11k clusters for 100M docs);
+2. within each cluster, compute pairwise cosine similarity — the
+   clusters BOUND the quadratic: cost is sum(cell_size^2), never
+   corpus^2;
+3. among any group of mutually-similar items (cos >= eps), keep exactly
+   one — the paper keeps the item with the LOWEST similarity to the
+   cluster centroid (i.e. the "edge" example carries the most signal).
+
+Spark shape (this module):
+
+* cell assignment is a PURE NARROW expression — the centroids ride the
+  plan as literals (same form as operators/ivf.py::assign_cells), the
+  argmin is array_position over the literal distances; no join, no
+  shuffle, no window. At 10^12 rows this is a map-only pass.
+* the canonical keep-order inside a cell is (distance-to-centroid DESC,
+  id ASC) — the paper's farthest-from-centroid preference, made total
+  and deterministic by the id tie-break. Rank is one window over cell.
+* the drop decision is EXISTS-EARLIER semantics: a document is a
+  semantic duplicate iff some *earlier-ranked* document in its cell has
+  cosine >= eps with it. This is the parallel-friendly fixed rule the
+  repo's minhash canonical-min marking already uses; like that marking
+  it can drop slightly more than the sequential greedy sweep (a kept
+  doc's duplicate may itself shadow a third doc), which for corpus
+  HYGIENE is the safe direction. The rule is a pure function of the
+  input, so the DuckDB oracle replays it exactly.
+* pairwise compute is a SELF EQUI-JOIN ON cell with rank inequality —
+  never a cross join. One exchange on cell feeds both the rank window
+  and both join sides (same key), so Catalyst reuses the partitioning.
+
+100 TB notes: k scales with the corpus (cells stay ~constant-sized, so
+sum(cell^2) stays ~linear in N); a pathologically hot cell (embedding
+collapse / all-zero vectors) is the skew risk — AQE skew-join splits
+the probe side, and `max_cell_pairs` below hard-bounds the work with an
+explicit error rather than a silent hang. Centroids come from
+operators/ivf.py::train_centroids (bounded-sample Lloyd's) in real use;
+the driver query uses deterministic seed rows so the oracle can replay
+the identical index (same recipe as ann_topk_ivf).
+
+Reference analogue: none (athoune/fluent-server routes events; it has
+no corpus semantics) — mandated training-data operator family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fluent_server_spark.operators.ivf import _sq_dist
+from fluent_server_spark.operators.similarity import cosine
+
+
+def with_cell_and_dist(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid cell AND the squared distance to it, both as one
+    narrow literal expression (ties break to the lowest cell)."""
+    cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    d2s = F.transform(
+        cents, lambda c: _sq_dist(F.col(vec_col).cast("array<double>"), c)
+    )
+    return (
+        vectors.withColumn("_d2s", d2s)
+        .withColumn("cell", (F.array_position("_d2s", F.array_min("_d2s")) - 1).cast("int"))
+        .withColumn("centroid_d2", F.array_min("_d2s"))
+        .drop("_d2s")
+    )
+
+
+def semdedup(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    eps: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_pairs: int | None = None,
+) -> DataFrame:
+    """Flag semantic duplicates. Returns one row per input vector:
+    (id_col, cell, cell_rank, is_semdup) where is_semdup means "an
+    earlier-ranked vector in the same cell is within eps cosine".
+
+    Rank 1 per cell is never a duplicate; callers filter ~is_semdup for
+    the kept corpus or aggregate for an audit table.
+    """
+    assigned = with_cell_and_dist(vectors, centroids, vec_col).select(
+        F.col(id_col), "cell", "centroid_d2", F.col(vec_col).alias("_v")
+    )
+    w = Window.partitionBy("cell").orderBy(F.desc("centroid_d2"), F.col(id_col))
+    ranked = assigned.withColumn("cell_rank", F.row_number().over(w))
+
+    if max_cell_pairs is not None:
+        # explicit guard, not a silent cap: a degenerate cell means the
+        # clustering (k, or the embeddings) needs fixing, not trimming
+        sizes = ranked.groupBy("cell").count()
+        worst = sizes.agg(F.max((F.col("count") * (F.col("count") - 1)) / 2)).first()[0]
+        if worst is not None and worst > max_cell_pairs:
+            raise ValueError(
+                f"semdedup cell generates {int(worst)} pairs > "
+                f"max_cell_pairs={max_cell_pairs}; raise k or inspect the "
+                "embedding distribution (collapsed/zero vectors?)"
+            )
+
+    a = ranked.select(
+        F.col("cell"),
+        F.col("cell_rank").alias("a_rank"),
+        F.col("_v").alias("a_v"),
+    )
+    b = ranked.select(
+        F.col(id_col).alias("b_id"),
+        F.col("cell"),
+        F.col("cell_rank").alias("b_rank"),
+        F.col("_v").alias("b_v"),
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("a_rank") < F.col("b_rank"))
+        .filter(cosine(F.col("a_v"), F.col("b_v")) >= F.lit(float(eps)))
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+    )
+    return (
+        ranked.join(dropped.withColumn("_dup", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            "cell_rank",
+            F.coalesce("_dup", F.lit(False)).alias("is_semdup"),
+        )
+    )
+
+
+def semdedup_keep(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    eps: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The kept (semantically deduplicated) corpus — input rows minus
+    flagged duplicates. One extra join on the id key."""
+    flags = semdedup(vectors, centroids, eps, id_col, vec_col)
+    return vectors.join(
+        flags.filter(~F.col("is_semdup")).select(id_col), id_col, "inner"
+    )

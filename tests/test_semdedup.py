@@ -1,0 +1,135 @@
+"""SemDeDup (operators/semdedup.py) vs a pure-Python reference of the
+same published semantics: cells bound the quadratic, exists-earlier
+drop rule, farthest-from-centroid keep order."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_server_spark.operators.ivf import train_centroids
+from fluent_server_spark.operators.semdedup import (
+    semdedup,
+    semdedup_keep,
+    with_cell_and_dist,
+)
+
+
+def _py_semdedup(pts: np.ndarray, cents: np.ndarray, eps: float):
+    """Reference: same cell assignment, same (d2 desc, id) order, same
+    exists-earlier-ranked drop rule, plain numpy."""
+    d2 = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    cell = d2.argmin(axis=1)
+    own = d2.min(axis=1)
+    dropped = set()
+    for c in np.unique(cell):
+        ids = np.where(cell == c)[0]
+        order = sorted(ids, key=lambda i: (-own[i], i))
+        for pos, i in enumerate(order):
+            for j in order[pos + 1 :]:
+                cos = pts[i].dot(pts[j]) / (
+                    np.linalg.norm(pts[i]) * np.linalg.norm(pts[j])
+                )
+                if cos >= eps:
+                    dropped.add(j)
+    return cell, dropped
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """3 tight clusters + a few singletons: within-cluster cosines are
+    high (same-direction noise), cross-cluster low."""
+    rng = np.random.RandomState(11)
+    centers = rng.randn(3, 8) * 5
+    pts = np.vstack(
+        [c + rng.randn(12, 8) * 0.3 for c in centers]
+        + [rng.randn(4, 8) * 6]  # scattered singletons
+    )
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(pts)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    return pts, df
+
+
+def test_matches_python_reference(spark, clustered):
+    pts, df = clustered
+    cents_ll = train_centroids(df, k=4, dim=8, seed=3)
+    cents = np.array(cents_ll)
+    exp_cell, exp_dropped = _py_semdedup(pts, cents, eps=0.9)
+
+    got = semdedup(df, cents_ll, eps=0.9).orderBy("vec_id").collect()
+    assert len(got) == len(pts)
+    for r in got:
+        assert r["cell"] == exp_cell[r["vec_id"]], r
+        assert r["is_semdup"] == (r["vec_id"] in exp_dropped), r
+
+
+def test_rank1_never_dropped_and_keep_is_complement(spark, clustered):
+    pts, df = clustered
+    cents = train_centroids(df, k=4, dim=8, seed=3)
+    flags = semdedup(df, cents, eps=0.9).collect()
+    for r in flags:
+        if r["cell_rank"] == 1:
+            assert not r["is_semdup"]
+    kept = semdedup_keep(df, cents, eps=0.9)
+    n_dropped = sum(1 for r in flags if r["is_semdup"])
+    assert kept.count() == len(pts) - n_dropped
+
+
+def test_eps_monotone(spark, clustered):
+    """Lower eps -> (weakly) more duplicates flagged."""
+    pts, df = clustered
+    cents = train_centroids(df, k=4, dim=8, seed=3)
+    drops = {
+        eps: semdedup(df, cents, eps).filter("is_semdup").count()
+        for eps in (0.5, 0.9, 0.999)
+    }
+    assert drops[0.5] >= drops[0.9] >= drops[0.999]
+    # tight clusters with same-direction noise: eps=0.9 must fire
+    assert drops[0.9] > 0
+
+
+def test_eps_above_all_sims_drops_nothing(spark, clustered):
+    pts, df = clustered
+    cents = train_centroids(df, k=4, dim=8, seed=3)
+    assert semdedup(df, cents, eps=1.0000001).filter("is_semdup").count() == 0
+
+
+def test_cell_assignment_ties_and_guard(spark):
+    # two identical centroids: tie must break to the LOWER cell
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.1])], "vec_id int, embedding array<double>"
+    )
+    cents = [[1.0, 0.0], [1.0, 0.0]]
+    cells = {r["vec_id"]: r["cell"] for r in with_cell_and_dist(df, cents).collect()}
+    assert cells == {0: 0, 1: 0}
+
+    with pytest.raises(ValueError, match="max_cell_pairs"):
+        semdedup(df, cents, eps=0.5, max_cell_pairs=0)
+
+
+def test_exists_earlier_can_exceed_greedy_but_never_misses(spark):
+    """A -0.05-apart chain a~b, b~c, a!~c: greedy keeps {a, c}; the
+    exists-earlier rule may drop both b and c (documented safe-side
+    difference). What it must NEVER do is keep two docs within eps of
+    each other where one ranks first in the cell."""
+    import numpy as np
+
+    # chain along a slight arc, one cluster
+    def unit(theta):
+        return [float(np.cos(theta)), float(np.sin(theta)), 0.0]
+
+    rows = [(0, unit(0.0)), (1, unit(0.5)), (2, unit(1.0))]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = [[1.0, 0.2, 0.0]]
+    eps = float(np.cos(0.6))  # a~b, b~c in range; a-c (1.0 rad) out
+    flags = {r["vec_id"]: r for r in semdedup(df, cents, eps).collect()}
+    first = min(flags.values(), key=lambda r: r["cell_rank"])
+    # everything within eps of the rank-1 doc must be flagged
+    pts = {i: np.array(v) for i, v in rows}
+    for i, r in flags.items():
+        if i == first["vec_id"]:
+            continue
+        cos = pts[i].dot(pts[first["vec_id"]])
+        if cos >= eps:
+            assert r["is_semdup"], (i, cos)
