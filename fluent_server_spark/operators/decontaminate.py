@@ -73,3 +73,59 @@ def decontaminate(
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    eval_bloom: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    salt: str = "decon",
+) -> DataFrame:
+    """The SCALE PATH of :func:`decontaminate` for when the eval gram
+    set outgrows a raw-string broadcast (a multi-benchmark eval suite
+    can reach 10^8+ distinct grams x ~50 bytes — too big to ship to
+    every executor as strings). `eval_bloom` is
+    ``sketches.bloom_build(eval_gram_set(...), "g", m_bits, ...)`` —
+    at most m_bits int rows no matter how wide or many the grams, built
+    once, parquet-storable, and mergeable across eval suites by
+    bloom_merge (union + distinct).
+
+    Guarantee direction is the SAFE one for hygiene: a Bloom filter has
+    no false negatives, so every truly contaminated doc is flagged here
+    too (pinned against the exact operator in tests); false positives
+    over-flag at the ~(1-exp(-kn/m))^k rate — size m_bits accordingly.
+
+    Returns (id_col, n_maybe_hits, contaminated) for every train doc —
+    the same contract as :func:`decontaminate`, with the count renamed
+    to say "maybe": at 100 TB you either accept the tiny over-drop or
+    route flagged docs through the exact broadcast check as a second,
+    now-small pass (classic bloom two-phase).
+    """
+    from fluent_server_spark.operators.sketches import bloom_contains
+
+    grams = with_shingles(train, text_col, n, out="hg").select(
+        id_col, F.explode("hg").alias("g")
+    )
+    # membership is a pure function of the gram -> probe each DISTINCT
+    # gram once (the dedup the exact path gets for free from broadcast)
+    flagged = bloom_contains(
+        grams.select("g").distinct(), eval_bloom, "g", m_bits, n_hashes, salt
+    ).filter("maybe_present").select("g")
+    hits = (
+        grams.join(flagged, "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_maybe_hits"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_maybe_hits", F.lit(0)).cast("bigint").alias("n_maybe_hits"),
+            (F.coalesce("n_maybe_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -189,3 +189,102 @@ def hll_estimate(sketch: DataFrame, p: int = 12) -> DataFrame:
         F.col("nz").alias("n_registers_set"),
         F.round(est).cast("long").alias("estimate"),
     )
+
+
+# -------------------------------------------------------------- Bloom filter
+
+
+def _bloom_positions(key, n_hashes: int, m_bits: int, salt: str):
+    """Array of the key's n_hashes bit positions (portable md5 family,
+    same contract as _bucket/_hll_hash)."""
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{salt}~{i}:"), key.cast("string"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % m_bits
+            ).cast("int")
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Bloom filter (Bloom 1970) as a one-column DataFrame of SET bit
+    positions — the membership companion to count-min (frequency) and
+    HLL (cardinality) above, same stance: the sketch IS a table.
+    Sparse representation: at most min(m_bits, n*k) rows regardless of
+    key width, so a billion 2 KB eval n-grams compress to <= m_bits
+    ints. Build is one explode + distinct (map-side combine); merge is
+    union + distinct (idempotent, so merge == build-on-union exactly).
+
+    Guarantees: NO false negatives ever; false-positive rate
+    ~ (1 - exp(-k*n/m))^k — size m_bits for the build cardinality.
+    """
+    return (
+        df.select(
+            F.explode(
+                _bloom_positions(F.col(key_col), n_hashes, m_bits, salt)
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_merge(*sketches: DataFrame) -> DataFrame:
+    """Union + distinct: filters built with the SAME (m_bits, n_hashes,
+    salt) merge exactly (bit-OR commutes with building from the
+    concatenated input)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct()
+
+
+def bloom_contains(
+    keys: DataFrame,
+    sketch: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Adds `maybe_present`: true iff ALL of the key's bit positions are
+    set. The sketch side is bounded by m_bits rows -> broadcast join on
+    the int position; the probe side never shuffles (the per-key
+    all-positions-hit check keys on the probe's own rows).
+
+    Distinct-position bookkeeping matters: two of a key's k hashes can
+    collide on one position, so the required hit count is the key's
+    DISTINCT position count, not k."""
+    probes = keys.withColumn(
+        "_bpos",
+        F.array_distinct(_bloom_positions(F.col(key_col), n_hashes, m_bits, salt)),
+    )
+    exploded = probes.select(
+        key_col, F.size("_bpos").alias("_need"), F.explode("_bpos").alias("pos")
+    )
+    hits = (
+        exploded.join(
+            F.broadcast(sketch.withColumn("_hit", F.lit(1))), "pos", "left"
+        )
+        .groupBy(key_col, "_need")
+        .agg(F.sum(F.coalesce("_hit", F.lit(0))).alias("_got"))
+        .select(
+            key_col, (F.col("_got") == F.col("_need")).alias("maybe_present")
+        )
+    )
+    return keys.join(hits, key_col, "left").fillna({"maybe_present": False})

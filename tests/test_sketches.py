@@ -134,3 +134,105 @@ def test_hll_rank_arithmetic_is_integer_exact(spark):
         r["register"]: r["max_rank"] for r in hll_build(df, "key", p=p).collect()
     }
     assert got == want
+
+
+# -------------------------------------------------------------- Bloom filter
+
+
+def test_bloom_no_false_negatives_and_fp_bounded(spark):
+    from fluent_server_spark.operators.sketches import bloom_build, bloom_contains
+
+    members = spark.range(0, 2000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    probes_in = members
+    probes_out = spark.range(0, 5000).select(
+        F.concat(F.lit("other-"), F.col("id")).alias("k")
+    )
+    m, k = 1 << 16, 5
+    sk = bloom_build(members, "k", m_bits=m, n_hashes=k)
+    assert sk.count() <= min(m, 2000 * k)
+    # zero false negatives
+    got = bloom_contains(probes_in, sk, "k", m_bits=m, n_hashes=k)
+    assert got.filter("NOT maybe_present").count() == 0
+    # FP rate near (1 - e^{-kn/m})^k ~ 0.0005 at n=2000; allow 10x slack
+    fp = bloom_contains(probes_out, sk, "k", m_bits=m, n_hashes=k)
+    assert fp.filter("maybe_present").count() <= 25
+
+
+def test_bloom_merge_equals_build_on_union(spark):
+    from fluent_server_spark.operators.sketches import bloom_build, bloom_merge
+
+    a = spark.range(0, 500).select(F.col("id").cast("string").alias("k"))
+    b = spark.range(400, 900).select(F.col("id").cast("string").alias("k"))
+    m, k = 1 << 14, 4
+    merged = bloom_merge(
+        bloom_build(a, "k", m, k), bloom_build(b, "k", m, k)
+    )
+    direct = bloom_build(a.unionByName(b), "k", m, k)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    # idempotent: merging with itself changes nothing
+    twice = bloom_merge(merged, merged)
+    assert twice.count() == merged.count()
+
+
+def test_bloom_hash_collision_bookkeeping(spark):
+    """With m tiny, a key's k hashes collide on fewer distinct positions;
+    membership must still require exactly the distinct set (a key whose
+    positions are all set by OTHERS reads maybe_present — that is the
+    false positive by design — but a key never fails on its own
+    collision)."""
+    from fluent_server_spark.operators.sketches import bloom_build, bloom_contains
+
+    keys = spark.createDataFrame([("x",), ("y",), ("z",)], "k string")
+    sk = bloom_build(keys, "k", m_bits=7, n_hashes=6)
+    got = bloom_contains(keys, sk, "k", m_bits=7, n_hashes=6)
+    assert got.filter("NOT maybe_present").count() == 0
+
+
+def test_decontaminate_bloom_superset_of_exact(spark):
+    """Bloom decontamination must flag EVERY doc the exact operator
+    flags (no false negatives); over-flagging is allowed and rate-bounded
+    by the filter size."""
+    from fluent_server_spark.operators.decontaminate import (
+        decontaminate,
+        decontaminate_bloom,
+        eval_gram_set,
+    )
+    from fluent_server_spark.operators.sketches import bloom_build
+
+    train = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "one two three four five six seven eight nine"),
+            (2, "totally clean document with no overlap at all here"),
+            (3, "alpha beta gamma delta epsilon again padded words x"),
+        ],
+        "doc_id int, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon held out")],
+        "doc_id int, text string",
+    )
+    n = 5
+    exact = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(train, eval_docs, n=n).collect()
+    }
+    m, k, salt = 1 << 14, 5, "decon-test"
+    bloom = bloom_build(
+        eval_gram_set(eval_docs, n=n), "g", m_bits=m, n_hashes=k, salt=salt
+    )
+    approx = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate_bloom(
+            train, bloom, n=n, m_bits=m, n_hashes=k, salt=salt
+        ).collect()
+    }
+    assert set(exact) == set(approx) == {0, 1, 2, 3}
+    for d, c in exact.items():
+        if c:
+            assert approx[d], f"bloom missed contaminated doc {d}"
+    # at this filter size there should be no false positives either
+    assert approx == exact
