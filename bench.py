@@ -49,8 +49,9 @@ HEADLINE_QUERIES = [
     "region_revenue",
     "supplier_part_rollup",
     "exact_dedup_docs",
-    "doc_text_stats",  # r3: token stats + repetition stats merged
-    "doc_fingerprints",
+    # r5: text stats + lang-id + winnowing fingerprints merged into the
+    # single-scan doc_profile
+    "doc_profile",
     "minhash_neardup_pairs",
     "simhash_neardup_pairs",
     # r4: exact jaccard joined the headline set once the threshold-aware
@@ -63,7 +64,6 @@ HEADLINE_QUERIES = [
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "ann_topk_ivf",
-    "doc_lang_id",
     "decontaminate_docs",
     "packed_training_chunks",
     "tfidf_top_terms",
@@ -75,6 +75,9 @@ HEADLINE_QUERIES = [
     "user_journey",
     "substring_dedup",
     "perplexity_band",
+    # r5: the semantic-dedup and lexical-retrieval additions
+    "semdedup_drop",
+    "bm25_topk",
     "event_cube_stats",
     "user_value_deciles",
     "event_window_stats",

@@ -120,11 +120,15 @@ def bm25_topk(
         + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
     )
 
+    # round BEFORE ranking: the per-doc sum's float accumulation order is
+    # partition-dependent, so ranking raw doubles could flip near-tied
+    # ranks between runs/engines; 6-decimal scores make the (score desc,
+    # doc_id) order a pure function of the input
     scored = (
         postings.join(F.broadcast(qstats), "term")
         .join(doclen, id_col)
         .groupBy(query_id_col, id_col)
-        .agg(F.sum(idf * norm).alias("score"))
+        .agg(F.round(F.sum(idf * norm), 6).alias("score"))
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("score"), F.col(id_col)
@@ -132,5 +136,5 @@ def bm25_topk(
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select(query_id_col, "rk", id_col, F.round("score", 6).alias("score"))
+        .select(query_id_col, "rk", id_col, "score")
     )

@@ -466,6 +466,45 @@ FROM c
 SQL_DOC_LANG_ID = _sql_doc_lang_id()
 
 
+def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5 merge of the three per-doc-grain profile queries —
+    doc_text_stats (token/stopword/punct counts + quality + Gopher
+    repetition signals), doc_lang_id (marker-token language guess), and
+    doc_fingerprints (winnowing min-hash fingerprint) — into ONE scan:
+    every parent's claim columns survive verbatim, and the merged plan
+    is strictly better at 100 TB (the three parents each re-scanned
+    documents for per-row narrow projections; here all narrow features
+    ride one select, with only the repetition aggregation joining back
+    on the doc_id key it already aggregates on). The parents stay
+    callable for pytest and come back as driver-checkable views via the
+    un-merge toggle (queries/unmerged.py)."""
+    from fluent_server_spark.operators.textstats import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    narrow = spread(docs).select(
+        "doc_id",
+        token_count(text).alias("n_tokens"),
+        stopword_count(text).alias("n_stopwords"),
+        punct_count(text).alias("n_punct"),
+        quality_score(text, F.col("n_chars")).alias("quality"),
+        lang_id_udf(text).alias("lang_guess"),
+        winnow_fingerprint(text).alias("winnow_fp"),
+    )
+    rep = repetition_stats(spread(docs))
+    return narrow.join(rep, "doc_id")
+
+
+SQL_DOC_PROFILE = f"""
+SELECT t.doc_id, t.n_tokens, t.n_stopwords, t.n_punct, t.quality,
+       t.n_words, t.n_distinct_words, t.top_word_frac, t.dup_word_frac,
+       l.lang_guess, f.winnow_fp
+FROM ({SQL_DOC_TEXT_STATS}) t
+JOIN ({SQL_DOC_LANG_ID}) l ON t.doc_id = l.doc_id
+JOIN ({SQL_DOC_FINGERPRINTS}) f ON t.doc_id = f.doc_id
+"""
+
+
 MIX_RATES = {"src0": 0.9, "src1": 0.5, "src2": 0.1}  # per-source corpus mix
 MIX_DEFAULT = 0.25
 MIX_SALT = "mix"
@@ -955,11 +994,79 @@ FROM tiled
 """
 
 
+BM25_QUERY_SET = [
+    (0, "hash join merge"),
+    (1, "window agg stream"),
+    (2, "vector scan filter"),
+]
+BM25_TOPK_K = 10
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (operators/bm25.py) — top-10 documents for
+    a fixed literal query set. The inverted index is built inline here
+    (postings + doc lengths as DataFrames); in a served deployment those
+    two tables persist partitioned by term / doc and this query is just
+    the probe side."""
+    from fluent_server_spark.operators.bm25 import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(BM25_QUERY_SET, "query_id int, query string")
+    return bm25_topk(
+        spread(docs), qs, k=BM25_TOPK_K, k1=BM25_K1, b=BM25_B
+    )
+
+
+def _sql_bm25_topk() -> str:
+    values = ", ".join(f"({i}, '{q}')" for i, q in BM25_QUERY_SET)
+    return f"""
+WITH q(query_id, query) AS (VALUES {values}),
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents),
+postings AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
+  GROUP BY doc_id, term),
+doclen AS (SELECT doc_id, sum(tf) AS dl FROM postings GROUP BY doc_id),
+stats AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+qterms AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id,
+           unnest(regexp_split_to_array(lower(trim(query)), '\\s+')) AS term
+    FROM q) WHERE term <> ''),
+scored AS (
+  SELECT qt.query_id, p.doc_id,
+         round(sum(
+           ln((c.n_docs - s.df + 0.5) / (s.df + 0.5) + 1.0)
+           * p.tf * ({BM25_K1} + 1)
+           / (p.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * d.dl / c.avgdl))
+         ), 6) AS score
+  FROM postings p
+  JOIN qterms qt USING (term)
+  JOIN stats s USING (term)
+  JOIN doclen d USING (doc_id), corpus c
+  GROUP BY qt.query_id, p.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rk
+  FROM scored)
+SELECT query_id, rk, doc_id, score FROM ranked WHERE rk <= {BM25_TOPK_K}
+"""
+
+
+SQL_BM25_TOPK = _sql_bm25_topk()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "exact_dedup_docs": QuerySpec(q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
     "clean_corpus": QuerySpec(q_clean_corpus, SQL_CLEAN_CORPUS),
-    "doc_text_stats": QuerySpec(q_doc_text_stats, SQL_DOC_TEXT_STATS),
-    "doc_fingerprints": QuerySpec(q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
+    # r5: doc_text_stats + doc_lang_id + doc_fingerprints merged into the
+    # single-scan doc_profile (their functions remain as pytest
+    # cross-checks; the un-merge toggle re-exposes all three)
+    "doc_profile": QuerySpec(q_doc_profile, SQL_DOC_PROFILE),
     "lang_source_rollup": QuerySpec(q_lang_source_rollup, SQL_LANG_SOURCE_ROLLUP),
     "ngram_jaccard_pairs": QuerySpec(q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "minhash_neardup_pairs": QuerySpec(
@@ -970,7 +1077,6 @@ QUERIES: dict[str, QuerySpec] = {
     "simhash_neardup_pairs": QuerySpec(
         q_simhash_neardup_pairs, SQL_SIMHASH_NEARDUP_PAIRS
     ),
-    "doc_lang_id": QuerySpec(q_doc_lang_id, SQL_DOC_LANG_ID),
     "decontaminate_docs": QuerySpec(q_decontaminate_docs, SQL_DECONTAMINATE_DOCS),
     "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "pii_scrub_stats": QuerySpec(q_pii_scrub_stats, SQL_PII_SCRUB_STATS),
@@ -980,4 +1086,6 @@ QUERIES: dict[str, QuerySpec] = {
     # r5: registered out of the two slots freed by the user_journey merge
     "substring_dedup": QuerySpec(q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "perplexity_band": QuerySpec(q_perplexity_band, SQL_PERPLEXITY_BAND),
+    # r5: registered out of the two slots freed by the doc_profile merge
+    "bm25_topk": QuerySpec(q_bm25_topk, SQL_BM25_TOPK),
 }

@@ -54,15 +54,37 @@ _SPLITS: dict[str, tuple[str, object, str]] = {
         lambda df: df.select("event_type", "mad_value"),
         "SELECT event_type, mad_value FROM ({sql})",
     ),
+    # r5 merge: doc_profile absorbed doc_text_stats, doc_lang_id and
+    # doc_fingerprints (all per-doc grain, one scan); the r3 splits of
+    # doc_text_stats re-parent onto doc_profile transitively
+    "doc_text_stats": (
+        "doc_profile",
+        lambda df: df.select(
+            "doc_id", "n_tokens", "n_stopwords", "n_punct", "quality",
+            "n_words", "n_distinct_words", "top_word_frac", "dup_word_frac",
+        ),
+        "SELECT doc_id, n_tokens, n_stopwords, n_punct, quality, n_words, "
+        "n_distinct_words, top_word_frac, dup_word_frac FROM ({sql})",
+    ),
+    "doc_lang_id": (
+        "doc_profile",
+        lambda df: df.select("doc_id", "lang_guess"),
+        "SELECT doc_id, lang_guess FROM ({sql})",
+    ),
+    "doc_fingerprints": (
+        "doc_profile",
+        lambda df: df.select("doc_id", "winnow_fp"),
+        "SELECT doc_id, winnow_fp FROM ({sql})",
+    ),
     "doc_token_stats": (
-        "doc_text_stats",
+        "doc_profile",
         lambda df: df.select(
             "doc_id", "n_tokens", "n_stopwords", "n_punct", "quality"
         ),
         "SELECT doc_id, n_tokens, n_stopwords, n_punct, quality FROM ({sql})",
     ),
     "doc_repetition_stats": (
-        "doc_text_stats",
+        "doc_profile",
         lambda df: df.select(
             "doc_id", "n_words", "n_distinct_words", "top_word_frac",
             "dup_word_frac",

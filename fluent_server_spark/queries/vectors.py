@@ -270,6 +270,63 @@ FROM cand WHERE cos >= {NEARDUP_THRESHOLD}
 SQL_EMBEDDING_NEARDUP_LSH = _sql_embedding_neardup_lsh()
 
 
+SEMDEDUP_K = 8
+SEMDEDUP_SEED_LO = 200  # vec_ids [200, 208) are the deterministic seed centroids
+SEMDEDUP_EPS = 0.35
+
+
+def q_semdedup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/semdedup.py): k-means cells bound the
+    within-cluster cosine pruning. Same driver recipe as ann_topk_ivf —
+    DETERMINISTIC seed rows as centroids (a bounded 8-row collect) so
+    the DuckDB oracle replays the identical cell index; the real
+    bounded-sample k-means trainer stays in operators/ivf.py with its
+    recall pinned in tests. Output: one row per vector with its cell,
+    canonical keep-rank, and the semantic-duplicate flag."""
+    from fluent_server_spark.operators.semdedup import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.filter(
+            F.col("vec_id").between(SEMDEDUP_SEED_LO, SEMDEDUP_SEED_LO + SEMDEDUP_K - 1)
+        )
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in seeds]
+    return semdedup(emb, centroids, eps=SEMDEDUP_EPS)
+
+
+SQL_SEMDEDUP_DROP = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT CAST(vec_id - {SEMDEDUP_SEED_LO} AS INTEGER) AS cell, v AS cv
+         FROM e WHERE vec_id BETWEEN {SEMDEDUP_SEED_LO}
+                               AND {SEMDEDUP_SEED_LO + SEMDEDUP_K - 1}),
+d AS (
+  SELECT e.vec_id, e.v, c.cell,
+         {_SQDIST.format(a='e.v', b='c.cv')} AS d2
+  FROM e, cent c),
+assigned AS (
+  SELECT vec_id, v, cell, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM d) WHERE rn = 1),
+ranked AS (
+  SELECT vec_id, v, cell,
+         row_number() OVER (PARTITION BY cell
+                            ORDER BY d2 DESC, vec_id) AS cell_rank
+  FROM assigned),
+dropped AS (
+  SELECT DISTINCT b.vec_id FROM ranked a JOIN ranked b
+    ON a.cell = b.cell AND a.cell_rank < b.cell_rank
+   AND {_DOT.format(a='a.v', b='b.v')}
+       / ({_NORM.format(a='a.v')} * {_NORM.format(a='b.v')}) >= {SEMDEDUP_EPS})
+SELECT r.vec_id, r.cell, r.cell_rank,
+       (dr.vec_id IS NOT NULL) AS is_semdup
+FROM ranked r LEFT JOIN dropped dr ON r.vec_id = dr.vec_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "embedding_neardup_pairs": QuerySpec(
         q_embedding_neardup_pairs, SQL_EMBEDDING_NEARDUP_PAIRS
@@ -281,4 +338,6 @@ QUERIES: dict[str, QuerySpec] = {
         q_embedding_neardup_lsh, SQL_EMBEDDING_NEARDUP_LSH
     ),
     "label_centroid_stats": QuerySpec(q_label_centroid_stats, SQL_LABEL_CENTROID_STATS),
+    # r5: registered out of the slots freed by the doc_profile merge
+    "semdedup_drop": QuerySpec(q_semdedup_drop, SQL_SEMDEDUP_DROP),
 }

@@ -33,9 +33,12 @@ MERGED_CLAIM_COLUMNS = {
     "user_session_stats": {"n_sessions", "sw_n_sessions", "dwell_us"},
     "hourly_event_rollup": {"n", "avg_value", "rolling_n"},
     "event_value_dispersion": {"p50", "p95", "p99", "mad_value"},
-    "doc_text_stats": {
+    # r5: doc_profile absorbed doc_text_stats (which had absorbed the
+    # token + repetition grains in r3), doc_lang_id and doc_fingerprints
+    "doc_profile": {
         "n_tokens", "n_stopwords", "n_punct", "quality",
         "n_words", "n_distinct_words", "top_word_frac", "dup_word_frac",
+        "lang_guess", "winnow_fp",
     },
     "corpus_splits": {"split", "source", "n_docs", "total_chars",
                       "n_mix", "mix_chars"},
@@ -81,7 +84,7 @@ def test_unmerged_toggle_appends_split_views(spark):
     names = list(full)
     assert names[:50] == base
     splits = names[50:]
-    assert len(splits) == 10
+    assert len(splits) == 13
 
     import sys
 
