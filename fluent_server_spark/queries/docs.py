@@ -1012,7 +1012,14 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluent_server_spark.operators.bm25 import bm25_topk
 
     docs = load_table(spark, sf_dir, "documents")
-    qs = spark.createDataFrame(BM25_QUERY_SET, "query_id int, query string")
+    # VALUES, not createDataFrame: the literal query set becomes a pure
+    # Catalyst LocalRelation (createDataFrame would route the 3 rows
+    # through applySchemaToPythonRDD — a Python stage in the plan text
+    # the plan audit rightly flags)
+    values = ", ".join(f"({i}, '{q}')" for i, q in BM25_QUERY_SET)
+    qs = spark.sql(
+        f"SELECT * FROM (VALUES {values}) AS t(query_id, query)"
+    )
     return bm25_topk(
         spread(docs), qs, k=BM25_TOPK_K, k1=BM25_K1, b=BM25_B
     )

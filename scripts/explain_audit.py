@@ -117,9 +117,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Window", "HashAggregate"],
         ["Join", "CartesianProduct"],
     ),
-    # r3: token/quality stats + repetition stats (explode + two-level
-    # agg) joined per doc — keyed hash join, never nested-loop
-    "doc_text_stats": (
+    # r5: the merged per-doc profile — ONE documents scan feeds all the
+    # narrow features (token/quality/lang-id/winnowing); only the
+    # repetition branch (explode + two-level agg) joins back, keyed on
+    # doc_id — keyed hash join, never nested-loop
+    "doc_profile": (
         ["Generate explode|Generate", "HashAggregate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
@@ -209,6 +211,23 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Window", "HashAggregate", "Exchange rangepartitioning", "BroadcastHashJoin"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # r5 SemDeDup: cell assignment + centroid distance are NARROW
+    # literal expressions (no join/shuffle); one window ranks within
+    # cell; the pairwise pass is a self EQUI-join on cell plus the
+    # keyed flag join — never a cross join, no Python anywhere
+    "semdedup_drop": (
+        ["Window", "ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "Python"],
+    ),
+    # r5 BM25: postings/doclen/stats are partial+final hash aggs; the
+    # query-term and per-term-stat sides join BROADCAST; top-k is one
+    # window — equi-joins only, no Python, no cross join (the 1-row
+    # corpus-constants crossJoin is broadcast-nested-loop over ONE row,
+    # the same documented pattern as lm_quality's total join)
+    "bm25_topk": (
+        ["HashAggregate", "BroadcastHashJoin", "Window"],
+        ["CartesianProduct", "Python"],
+    ),
     # r3: exact O(n^2) embedding baseline is BOUNDED BY CONSTRUCTION —
     # the anchor filter must be pushed into the scan
     "embedding_neardup_pairs": (
@@ -223,7 +242,12 @@ def _extra_plans():
     their own — name -> (df_factory(spark), must, must_not). Their 100 TB
     docstring claims are asserted here exactly like the registry set."""
     from fluent_server_spark.operators.layout import zorder_layout
+    from pyspark.sql import functions as F
+
+    from fluent_server_spark.operators.decontaminate import decontaminate_bloom
     from fluent_server_spark.operators.sketches import (
+        bloom_build,
+        bloom_contains,
         count_min_build,
         count_min_estimate,
         count_min_merge,
@@ -290,6 +314,44 @@ def _extra_plans():
             ),
             ["HashAggregate"],
             ["Join", "CartesianProduct", "Python", "Generate"],
+        ),
+        # Bloom build: one Generate (explode to k positions) + distinct
+        # (= partial/final agg) — sparse <= m_bits rows; no join, no
+        # Python
+        "bloom_build": (
+            lambda spark: bloom_build(docs(spark), "source", 1 << 14, 4),
+            ["Generate", "HashAggregate", "Exchange hashpartitioning"],
+            ["Join", "CartesianProduct", "Python"],
+        ),
+        # Bloom probe: the bounded sketch side BROADCASTS; the probe
+        # side's all-distinct-positions-hit check is a keyed agg on its
+        # own rows — no shuffle of the sketch, no Python
+        "bloom_contains": (
+            lambda spark: bloom_contains(
+                docs(spark).select("text").limit(50),
+                bloom_build(docs(spark), "source", 1 << 14, 4),
+                "text",
+                1 << 14,
+                4,
+            ),
+            ["BroadcastHashJoin", "HashAggregate"],
+            ["CartesianProduct", "Python"],
+        ),
+        # Bloom decontamination: distinct train grams probe the
+        # broadcast filter once; per-doc hit counts are keyed aggs —
+        # the 100 TB train side never shuffles into the membership test
+        "decontaminate_bloom": (
+            lambda spark: decontaminate_bloom(
+                docs(spark),
+                bloom_build(docs(spark).limit(5).select(
+                    F.explode(F.split("text", " ")).alias("g")
+                ), "g", 1 << 14, 4, "decon"),
+                m_bits=1 << 14,
+                n_hashes=4,
+                salt="decon",
+            ),
+            ["BroadcastHashJoin", "HashAggregate"],
+            ["CartesianProduct"],
         ),
         # Z-order write layout: ONE range exchange on the Morton code +
         # in-partition sort; the min/max bounds agg is a separate bounded
