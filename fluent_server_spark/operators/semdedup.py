@@ -152,3 +152,48 @@ def semdedup_keep(
     return vectors.join(
         flags.filter(~F.col("is_semdup")).select(id_col), id_col, "inner"
     )
+
+
+def semdedup_against(
+    new_vectors: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    eps: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental SemDeDup — flag NEW vectors that semantically
+    duplicate the EXISTING corpus (the dedup-on-ingest shape the exact
+    families already have: minhash_lsh_pairs_against, dedup_stream).
+
+    The corpus always wins: a new vector is flagged iff some corpus
+    vector in its cell is within eps cosine. The join is new-batch x
+    corpus restricted to matching cells — NEVER corpus x corpus, so an
+    epoch's cost is |batch| x avg_cell_share of the corpus. At rest the
+    corpus side is the cell-partitioned embedding table (cell is its
+    partition column — same layout the IVF index uses), so the probe
+    prunes to the batch's cells before any row moves.
+
+    Within-batch duplicates are NOT decided here (two new near-twins
+    both clean vs the corpus both survive); run :func:`semdedup` on the
+    batch for that — the composition mirrors the minhash streaming
+    dedup's batch-then-corpus two-step.
+
+    Returns (id_col, cell, is_semdup) per NEW vector.
+    """
+    new_assigned = with_cell_and_dist(new_vectors, centroids, vec_col).select(
+        F.col(id_col), "cell", F.col(vec_col).alias("_nv")
+    )
+    corp_assigned = with_cell_and_dist(corpus, centroids, vec_col).select(
+        F.col("cell"), F.col(vec_col).alias("_cv")
+    )
+    hit = (
+        new_assigned.join(corp_assigned, "cell")
+        .filter(cosine(F.col("_nv"), F.col("_cv")) >= F.lit(float(eps)))
+        .select(id_col)
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return new_assigned.join(hit, id_col, "left").select(
+        id_col, "cell", F.coalesce("_dup", F.lit(False)).alias("is_semdup")
+    )

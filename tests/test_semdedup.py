@@ -133,3 +133,34 @@ def test_exists_earlier_can_exceed_greedy_but_never_misses(spark):
         cos = pts[i].dot(pts[first["vec_id"]])
         if cos >= eps:
             assert r["is_semdup"], (i, cos)
+
+
+def test_semdedup_against_corpus_wins(spark, clustered):
+    """Incremental path: a new vector near a corpus vector (same cell)
+    is flagged; a new vector in an empty region is not; and within-batch
+    twins are NOT decided here (documented composition)."""
+    import numpy as np
+
+    from fluent_server_spark.operators.semdedup import semdedup_against
+
+    pts, df = clustered
+    cents = train_centroids(df, k=4, dim=8, seed=3)
+    # batch: a near-copy of corpus point 0, a far-away novel point, and
+    # two mutual twins that are both novel vs the corpus
+    novel = np.full(8, 9.0)
+    twin = -novel + np.random.RandomState(5).randn(8) * 0.01
+    batch_rows = [
+        (1000, [float(x) for x in pts[0] * 1.001]),
+        (1001, [float(x) for x in novel]),
+        (1002, [float(x) for x in twin]),
+        (1003, [float(x) for x in twin * 1.001]),
+    ]
+    batch = spark.createDataFrame(batch_rows, "vec_id int, embedding array<double>")
+    got = {r["vec_id"]: r["is_semdup"] for r in
+           semdedup_against(batch, df, cents, eps=0.95).collect()}
+    assert got[1000] is True      # duplicates corpus point 0
+    assert got[1001] is False     # novel direction
+    assert got[1002] is False and got[1003] is False  # within-batch only
+    # the documented two-step catches the within-batch twins
+    flags = semdedup(batch, cents, eps=0.95)
+    assert flags.filter("is_semdup").count() >= 1
