@@ -55,7 +55,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from fluent_server_spark.operators.ivf import _sq_dist
-from fluent_server_spark.operators.similarity import cosine
+from fluent_server_spark.operators.similarity import dot, l2_norm
 
 
 def with_cell_and_dist(
@@ -92,8 +92,24 @@ def semdedup(
     Rank 1 per cell is never a duplicate; callers filter ~is_semdup for
     the kept corpus or aggregate for an audit table.
     """
-    assigned = with_cell_and_dist(vectors, centroids, vec_col).select(
-        F.col(id_col), "cell", "centroid_d2", F.col(vec_col).alias("_v")
+    # normalize ONCE per row (N norms), so each candidate pair costs a
+    # single dot fold instead of dot + two norms (3x the pair CPU —
+    # measured 6.5 -> ~3 s at sf0.1). The norm is materialized as its
+    # own column first — folding it inside the transform lambda would
+    # re-evaluate the aggregate per element. cos(a,b) == dot(a/|a|,
+    # b/|b|) up to rounding; the driver oracle replays the identical
+    # normalize-then-dot float ops so the eps comparison stays bit-equal
+    assigned = (
+        with_cell_and_dist(vectors, centroids, vec_col)
+        .withColumn("_n", l2_norm(F.col(vec_col).cast("array<double>")))
+        .select(
+            F.col(id_col),
+            "cell",
+            "centroid_d2",
+            F.transform(
+                F.col(vec_col).cast("array<double>"), lambda x: x / F.col("_n")
+            ).alias("_v"),
+        )
     )
     w = Window.partitionBy("cell").orderBy(F.desc("centroid_d2"), F.col(id_col))
     ranked = assigned.withColumn("cell_rank", F.row_number().over(w))
@@ -124,7 +140,7 @@ def semdedup(
     dropped = (
         a.join(b, "cell")
         .filter(F.col("a_rank") < F.col("b_rank"))
-        .filter(cosine(F.col("a_v"), F.col("b_v")) >= F.lit(float(eps)))
+        .filter(dot(F.col("a_v"), F.col("b_v")) >= F.lit(float(eps)))
         .select(F.col("b_id").alias(id_col))
         .distinct()
     )
@@ -181,15 +197,23 @@ def semdedup_against(
 
     Returns (id_col, cell, is_semdup) per NEW vector.
     """
-    new_assigned = with_cell_and_dist(new_vectors, centroids, vec_col).select(
-        F.col(id_col), "cell", F.col(vec_col).alias("_nv")
-    )
-    corp_assigned = with_cell_and_dist(corpus, centroids, vec_col).select(
-        F.col("cell"), F.col(vec_col).alias("_cv")
-    )
+    def _unit(df, cols):
+        return (
+            with_cell_and_dist(df, centroids, vec_col)
+            .withColumn("_n", l2_norm(F.col(vec_col).cast("array<double>")))
+            .select(
+                *cols,
+                F.transform(
+                    F.col(vec_col).cast("array<double>"), lambda x: x / F.col("_n")
+                ).alias("_u"),
+            )
+        )
+
+    new_assigned = _unit(new_vectors, [F.col(id_col), F.col("cell")])
+    corp_assigned = _unit(corpus, [F.col("cell")]).withColumnRenamed("_u", "_cu")
     hit = (
         new_assigned.join(corp_assigned, "cell")
-        .filter(cosine(F.col("_nv"), F.col("_cv")) >= F.lit(float(eps)))
+        .filter(dot(F.col("_u"), F.col("_cu")) >= F.lit(float(eps)))
         .select(id_col)
         .distinct()
         .withColumn("_dup", F.lit(True))

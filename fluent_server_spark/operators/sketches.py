@@ -288,3 +288,80 @@ def bloom_contains(
         )
     )
     return keys.join(hits, key_col, "left").fillna({"maybe_present": False})
+
+
+# ------------------------------------------------- bottom-k sample (KMV)
+
+
+def bottomk_build(
+    df: DataFrame,
+    value_col: str,
+    key_col: str | None = None,
+    k: int = 1024,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Bottom-k (k-minimum-values) sample sketch (Cohen & Kaplan 2007) —
+    the QUANTILE/SAMPLE companion to count-min (frequency), HLL
+    (cardinality) and Bloom (membership) above: a uniform-without-
+    replacement sample of k rows, chosen as the k smallest values of a
+    deterministic hash over the row key. Because the hash is a pure
+    function of the row (not an RNG), the same rows win everywhere:
+    merge == build-on-union BIT-EXACTLY (pinned in tests), re-runs are
+    idempotent, and any engine re-derives the identical sample — the
+    same determinism stance as operators/sampling.py.
+
+    Returns (hkey, value): at most k rows, orderable by hkey. One
+    window-free Top-K: sort by hash, limit k — Spark executes this as
+    per-partition TakeOrdered + a k-row driver merge, so the full
+    input is never shuffled (cost: one scan + k rows per partition).
+
+    `key_col` defaults to the value itself; pass a row id when values
+    repeat heavily (sampling is per-KEY: distinct keys are sampled
+    uniformly, which is also what makes the merge exact).
+    """
+    key = F.col(key_col) if key_col else F.col(value_col)
+    h = F.md5(F.concat(F.lit(salt + ":"), key.cast("string")))
+    return (
+        df.select(h.alias("hkey"), F.col(value_col).alias("value"))
+        .orderBy("hkey")
+        .limit(k)
+    )
+
+
+def bottomk_merge(*sketches: DataFrame, k: int = 1024) -> DataFrame:
+    """Union + re-take the k smallest hashes. The k minima of a union
+    are a subset of the union of per-part k minima, so merging loses
+    nothing — the defining KMV property."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    # a key present in several sketches keeps one copy (same hash, same
+    # value row) — distinct on hkey guards double-counted overlap
+    return out.dropDuplicates(["hkey"]).orderBy("hkey").limit(k)
+
+
+def bottomk_quantiles(
+    sketch: DataFrame, qs: list[float]
+) -> DataFrame:
+    """Quantile estimates from the sample: one row per requested q with
+    the nearest-rank sample value. The sketch is <= k rows, so this is
+    driver-trivial compute expressed as a plan (window over k rows);
+    error vs the true quantile is the standard sampling error
+    O(1/sqrt(k)) in rank space."""
+    from pyspark.sql import Window
+
+    n = sketch.count()
+    w = Window.orderBy("value")
+    ranked = sketch.withColumn("_rn", F.row_number().over(w))
+    conds = [
+        (F.lit(float(q)), F.greatest(F.least(
+            F.round(F.lit(q) * n + 0.5).cast("int"), F.lit(n)), F.lit(1)))
+        for q in qs
+    ]
+    out = None
+    for qlit, target in conds:
+        row = ranked.filter(F.col("_rn") == target).select(
+            qlit.alias("q"), F.col("value").alias("estimate")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

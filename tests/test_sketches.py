@@ -236,3 +236,50 @@ def test_decontaminate_bloom_superset_of_exact(spark):
             assert approx[d], f"bloom missed contaminated doc {d}"
     # at this filter size there should be no false positives either
     assert approx == exact
+
+
+# ------------------------------------------------- bottom-k sample (KMV)
+
+
+def test_bottomk_merge_equals_build_on_union_bitexact(spark):
+    from fluent_server_spark.operators.sketches import bottomk_build, bottomk_merge
+
+    a = spark.range(0, 3000).select(F.col("id").alias("v"))
+    b = spark.range(2000, 6000).select(F.col("id").alias("v"))  # overlap
+    k = 256
+    merged = bottomk_merge(
+        bottomk_build(a, "v", k=k), bottomk_build(b, "v", k=k), k=k
+    )
+    direct = bottomk_build(a.unionByName(b), "v", k=k)
+    assert merged.count() == k and direct.count() == k
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_bottomk_sample_is_uniform_enough_for_quantiles(spark):
+    from fluent_server_spark.operators.sketches import (
+        bottomk_build,
+        bottomk_quantiles,
+    )
+
+    n = 20000
+    df = spark.range(0, n).select(F.col("id").cast("double").alias("v"))
+    sk = bottomk_build(df, "v", k=1024)
+    got = {r["q"]: r["estimate"] for r in bottomk_quantiles(sk, [0.1, 0.5, 0.9]).collect()}
+    # rank-space error ~ O(1/sqrt(k)) ~ 3%; allow 6% of the range
+    for q, est in got.items():
+        assert abs(est - q * n) < 0.06 * n, (q, est)
+
+
+def test_bottomk_idempotent_and_bounded(spark):
+    from fluent_server_spark.operators.sketches import bottomk_build, bottomk_merge
+
+    df = spark.range(0, 500).select(F.col("id").alias("v"))
+    sk = bottomk_build(df, "v", k=64)
+    assert sk.count() == 64
+    twice = bottomk_merge(sk, sk, k=64)
+    assert twice.count() == 64
+    assert twice.exceptAll(sk).count() == 0
+    # fewer rows than k: the sketch IS the (keyed) input
+    small = bottomk_build(df.limit(10), "v", k=64)
+    assert small.count() == 10
