@@ -310,19 +310,24 @@ def bottomk_build(
     idempotent, and any engine re-derives the identical sample — the
     same determinism stance as operators/sampling.py.
 
-    Returns (hkey, value): at most k rows, orderable by hkey. One
-    window-free Top-K: sort by hash, limit k — Spark executes this as
-    per-partition TakeOrdered + a k-row driver merge, so the full
-    input is never shuffled (cost: one scan + k rows per partition).
+    Returns (hkey, value): at most k rows, orderable by hkey. Sampling
+    is per-KEY: the distinct-key step (one map-side-combined
+    aggregation — the same cost class as the other sketch builds here)
+    runs BEFORE the bottom-k, so a key appearing a million times weighs
+    the same as one appearing once, and build-on-union stays exactly
+    equal to merge even when inputs overlap. The bottom-k itself is
+    TakeOrdered: per-partition k minima + a k-row merge, no full sort.
 
-    `key_col` defaults to the value itself; pass a row id when values
-    repeat heavily (sampling is per-KEY: distinct keys are sampled
-    uniformly, which is also what makes the merge exact).
+    `key_col` defaults to the value itself; pass a row id to quantile
+    over rows rather than distinct values. (An md5 collision between
+    two DIFFERENT keys would keep an arbitrary one's value — at 60
+    hash bits that is negligible and the standard KMV trade.)
     """
     key = F.col(key_col) if key_col else F.col(value_col)
     h = F.md5(F.concat(F.lit(salt + ":"), key.cast("string")))
     return (
         df.select(h.alias("hkey"), F.col(value_col).alias("value"))
+        .dropDuplicates(["hkey"])
         .orderBy("hkey")
         .limit(k)
     )

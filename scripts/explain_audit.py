@@ -248,6 +248,8 @@ def _extra_plans():
     from fluent_server_spark.operators.sketches import (
         bloom_build,
         bloom_contains,
+        bottomk_build,
+        bottomk_merge,
         count_min_build,
         count_min_estimate,
         count_min_merge,
@@ -352,6 +354,25 @@ def _extra_plans():
             ),
             ["BroadcastHashJoin", "HashAggregate"],
             ["CartesianProduct"],
+        ),
+        # KMV bottom-k build: distinct keys (map-side-combined agg) +
+        # TakeOrdered (per-partition k minima, k-row merge — no full
+        # sort exchange); no join, no Python, no window
+        "bottomk_build": (
+            lambda spark: bottomk_build(docs(spark), "n_chars", "doc_id", 64),
+            ["HashAggregate", "TakeOrderedAndProject"],
+            ["Join", "CartesianProduct", "Python", "Window"],
+        ),
+        # KMV merge: union + dedup + re-take k — same shape, still no
+        # join (merge == build-on-union pinned in tests)
+        "bottomk_merge": (
+            lambda spark: bottomk_merge(
+                bottomk_build(docs(spark), "n_chars", "doc_id", 64),
+                bottomk_build(docs(spark), "doc_id", "doc_id", 64),
+                k=64,
+            ),
+            ["HashAggregate", "TakeOrderedAndProject"],
+            ["Join", "CartesianProduct", "Python", "Window"],
         ),
         # Z-order write layout: ONE range exchange on the Morton code +
         # in-partition sort; the min/max bounds agg is a separate bounded
