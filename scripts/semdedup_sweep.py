@@ -21,7 +21,7 @@ sys.path.insert(0, "/root/repo")
 SF_DIR = "/root/testdata/sf0.1"
 EPS = 0.35
 CELLS = [2, 4, 8, 16, 32]
-SIZES = [625, 1250, 2500, 5000]
+SIZES = [250, 500, 1000, 2000]  # sf0.1 embeddings has 2000 rows
 FIXED_K = 8
 SEED_LO = 200
 
