@@ -138,3 +138,81 @@ def bm25_topk(
         .filter(F.col("rk") <= k)
         .select(query_id_col, "rk", id_col, "score")
     )
+
+
+def write_bm25_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the inverted index: postings repartitioned BY TERM (so a
+    probe's term equi-join co-locates with the stored layout and term
+    stats aggregate without a second shuffle), doc lengths by doc, term
+    stats, and a one-row corpus manifest (n_docs, avgdl) — the
+    constants every probe needs without touching the corpus again.
+    Build once per corpus epoch; merge across epochs is postings
+    union + groupBy re-sum (tf/df are associative), not re-tokenizing.
+    """
+    postings, doclen = bm25_index(docs, id_col, text_col)
+    stats = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    corpus = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    postings.repartition("term").write.mode("overwrite").parquet(
+        f"{path}/postings"
+    )
+    doclen.write.mode("overwrite").parquet(f"{path}/doclen")
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+    corpus.write.mode("overwrite").parquet(f"{path}/corpus")
+
+
+def bm25_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+) -> DataFrame:
+    """Probe-only BM25 over a persisted index — the marginal cost a
+    served query actually pays: read only the matching postings (term
+    equi-join against the term-partitioned store), the bounded stats
+    rows for the query terms, and the doc lengths of candidate docs.
+    Never re-tokenizes, never scans the corpus text. Bit-equal to the
+    inline :func:`bm25_topk` (pinned in tests) because the stored
+    relations are exactly the inline intermediates."""
+    postings = spark.read.parquet(f"{path}/postings")
+    doclen = spark.read.parquet(f"{path}/doclen")
+    stats = spark.read.parquet(f"{path}/stats")
+    corpus = spark.read.parquet(f"{path}/corpus")
+
+    qterms = queries.select(
+        F.col(query_id_col), F.explode(_tokens(F.col(query_text_col))).alias("term")
+    ).distinct()
+    qstats = qterms.join(stats, "term").join(F.broadcast(corpus), F.lit(True))
+
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    norm = F.col("tf") * (F.lit(k1) + 1.0) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        postings.join(F.broadcast(qstats), "term")
+        .join(doclen, id_col)
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum(idf * norm), 6).alias("score"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, "rk", id_col, "score")
+    )

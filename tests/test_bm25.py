@@ -109,3 +109,24 @@ def test_duplicate_query_terms_count_once(spark, corpus):
     a = {(r["doc_id"], r["score"]) for r in bm25_topk(docs, q1, k=10).collect()}
     b = {(r["doc_id"], r["score"]) for r in bm25_topk(docs, q2, k=10).collect()}
     assert a == b
+
+
+def test_persisted_index_probe_bitequal_and_mergeable(spark, corpus, tmp_path):
+    from fluent_server_spark.operators.bm25 import (
+        bm25_topk_from_index,
+        write_bm25_index,
+    )
+
+    docs, qs = corpus
+    path = str(tmp_path / "bm25idx")
+    write_bm25_index(docs, path)
+    inline = {(r["query_id"], r["rk"], r["doc_id"], r["score"])
+              for r in bm25_topk(docs, qs, k=10).collect()}
+    probed = {(r["query_id"], r["rk"], r["doc_id"], r["score"])
+              for r in bm25_topk_from_index(spark, path, qs, k=10).collect()}
+    assert inline == probed
+    # the stored relations are exactly the inline intermediates
+    postings = spark.read.parquet(f"{path}/postings")
+    assert postings.filter("doc_id = 4 AND term = 'fox'").first()["tf"] == 5
+    one = spark.read.parquet(f"{path}/corpus").collect()
+    assert len(one) == 1 and one[0]["n_docs"] == len(DOCS)
