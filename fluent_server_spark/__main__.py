@@ -179,6 +179,59 @@ def _run_live_edge(args) -> int:
         q = stream_spool_into_snapshots(
             spark, spool, pipe, args.checkpoint, recursive=True
         )
+    elif args.dedup_index:
+        # dedup-on-ingest composition: every micro-batch of routed turns
+        # is near-dup-checked against the PERSISTED minhash corpus index
+        # (written once from the standing corpus by write_minhash_index;
+        # its text is never scanned here) and duplicate turns are
+        # DIVERTED to sink=sink_duplicates — edge-side duplicate
+        # suppression, the deployment shape of streaming/dedup_stream.py
+        # welded onto the live wire. Exactly-once: each epoch overwrites
+        # its own epoch=N dir, so Structured Streaming's replay of a
+        # failed epoch rewrites instead of appending.
+        from pyspark.sql import functions as _F
+
+        from fluent_server_spark.operators.dedup import minhash_lsh_pairs_against
+
+        routed = stream_spool_routed(
+            spark, spool, parse_impl=args.parse_impl, recursive=True
+        )
+        idx, thr, sinks = args.dedup_index, args.dedup_threshold, args.sinks
+
+        def dedup_epoch(batch_df, epoch_id: int) -> None:
+            keyed = batch_df.withColumn(
+                "_tk", _F.concat_ws("#", "conv_id", "turn_idx")
+            )
+            dups = (
+                minhash_lsh_pairs_against(
+                    keyed.select(_F.col("_tk").alias("doc_id"), "text"),
+                    corpus_index=idx,
+                    threshold=thr,
+                )
+                .select(_F.col("new_id").alias("_tk"))
+                .distinct()
+                .withColumn("_dup", _F.lit(True))
+            )
+            out = (
+                keyed.join(dups, "_tk", "left")
+                .withColumn(
+                    "sink",
+                    _F.when(
+                        _F.coalesce("_dup", _F.lit(False)),
+                        _F.lit("sink_duplicates"),
+                    ).otherwise(_F.col("sink")),
+                )
+                .drop("_tk", "_dup")
+            )
+            out.write.mode("overwrite").partitionBy("sink").parquet(
+                f"{sinks}/epoch={epoch_id}"
+            )
+
+        q = (
+            routed.writeStream.foreachBatch(dedup_epoch)
+            .option("checkpointLocation", args.checkpoint)
+            .start()
+        )
     else:
         routed = stream_spool_routed(
             spark, spool, parse_impl=args.parse_impl, recursive=True
@@ -278,6 +331,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="live-edge: land the SNAPSHOT table (one manifest "
                          "commit per epoch; read_appended/time-travel/MERGE "
                          "surface) instead of the plain parquet sink")
+    ap.add_argument("--dedup-index", default=None, metavar="INDEX_DIR",
+                    help="live-edge: near-dup-check every ingested turn "
+                         "against this persisted minhash index "
+                         "(write_minhash_index) and divert duplicates to "
+                         "sink_duplicates (not with --snapshots)")
+    ap.add_argument("--dedup-threshold", type=float, default=0.2)
     ap.add_argument("--compact-on-drain", action="store_true",
                     help="live-edge --snapshots: after the drain, rewrite the "
                          "live snapshot into one run (small-files compaction; "

@@ -858,3 +858,95 @@ def test_cli_live_edge_kill9_crash_recovery(spark, tmp_path, turns_pdf):
         for r in direct.groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want and sum(got.values()) == len(sample)
+
+
+def test_cli_live_edge_dedup_on_ingest(spark, tmp_path, turns_pdf):
+    """--live-edge --dedup-index: the full deployment composition —
+    daemon + streaming route + minhash dedup against a persisted corpus
+    index + sinks, one CLI invocation. Turns whose text near-dups the
+    standing corpus land in sink_duplicates; everything else routes
+    normally; nothing is lost. Expected flags come from running the
+    SAME batch operator on the same turns (stream == batch, the
+    repo-wide equality stance)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from fluent_server_spark.operators.dedup import (
+        minhash_lsh_pairs_against,
+        write_minhash_index,
+    )
+
+    sample = turns_pdf.head(120)
+    # standing corpus: the texts of the first 30 turns (plus filler) —
+    # any sent turn re-using one of those texts is a near-dup by design
+    corpus_rows = [
+        (i, t) for i, t in enumerate(sample.head(30)["text"].tolist())
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    idx = str(tmp_path / "corpus_idx")
+    write_minhash_index(corpus, idx)
+
+    spool, sinks, ck = (str(tmp_path / x) for x in ("spool", "sinks", "ck"))
+    env = {**os.environ, "PYTHONPATH": "/root/repo"}
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "fluent_server_spark",
+         "--live-edge", spool, "--sinks", sinks, "--checkpoint", ck,
+         "--dedup-index", idx, "--dedup-threshold", "0.5",
+         "--host", "127.0.0.1", "--port", "0", "--cpus", "4",
+         "--rotate-seconds", "1.0", "--max-seconds", "40"],
+        stdout=subprocess.PIPE, text=True, cwd="/root/repo", env=env,
+    )
+    try:
+        banner = json.loads(proc.stdout.readline())
+        port = banner["live_edge"]["port"]
+        entries = [
+            (
+                int(row.ts.timestamp()),
+                {
+                    "conv_id": row.conv_id,
+                    "turn_idx": int(row.turn_idx),
+                    "role": row.role,
+                    "text": row.text,
+                    "tool": row.tool,
+                },
+            )
+            for row in sample.itertuples()
+        ]
+
+        async def send():
+            cli = ForwardClient("127.0.0.1", port)
+            await cli.connect()
+            ack = await cli.send_raw(
+                _forward_frame("transcripts", entries, option={"chunk": "c"}),
+                await_ack=True,
+            )
+            await cli.close()
+            return ack
+
+        assert asyncio.run(send()) == {"ack": "c"}
+        out, _ = proc.communicate(timeout=240)
+        assert proc.returncode == 0
+        final = json.loads(out.strip().splitlines()[-1])
+        got = final["sink_counts"]
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    # expected: batch replay of the identical dedup decision
+    keyed = spark.createDataFrame(sample).select(
+        F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias(
+            "doc_id"
+        ),
+        "text",
+    )
+    dup_keys = {
+        r["new_id"]
+        for r in minhash_lsh_pairs_against(
+            keyed, corpus_index=idx, threshold=0.5
+        ).collect()
+    }
+    assert len(dup_keys) >= 30  # the 30 re-used texts must all flag
+    assert got.get("sink_duplicates", 0) == len(dup_keys)
+    assert sum(got.values()) == len(sample)  # nothing lost, nothing duped
