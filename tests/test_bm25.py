@@ -130,3 +130,13 @@ def test_persisted_index_probe_bitequal_and_mergeable(spark, corpus, tmp_path):
     assert postings.filter("doc_id = 4 AND term = 'fox'").first()["tf"] == 5
     one = spark.read.parquet(f"{path}/corpus").collect()
     assert len(one) == 1 and one[0]["n_docs"] == len(DOCS)
+
+
+def test_empty_corpus_and_no_match_query(spark):
+    docs = spark.createDataFrame([], "doc_id int, text string")
+    qs = spark.createDataFrame([(0, "anything")], "query_id int, query string")
+    assert bm25_topk(docs, qs, k=5).count() == 0
+    # query with no term in the corpus: no rows for it, no error
+    docs2 = spark.createDataFrame([(1, "alpha beta")], "doc_id int, text string")
+    qs2 = spark.createDataFrame([(0, "zzz qqq")], "query_id int, query string")
+    assert bm25_topk(docs2, qs2, k=5).count() == 0

@@ -164,3 +164,14 @@ def test_semdedup_against_corpus_wins(spark, clustered):
     # the documented two-step catches the within-batch twins
     flags = semdedup(batch, cents, eps=0.95)
     assert flags.filter("is_semdup").count() >= 1
+
+
+def test_semdedup_empty_and_single_input(spark):
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    empty = spark.createDataFrame([], "vec_id int, embedding array<double>")
+    assert semdedup(empty, cents, eps=0.5).count() == 0
+    one = spark.createDataFrame(
+        [(7, [1.0, 0.5])], "vec_id int, embedding array<double>"
+    )
+    rows = semdedup(one, cents, eps=0.5).collect()
+    assert len(rows) == 1 and not rows[0]["is_semdup"] and rows[0]["cell_rank"] == 1
