@@ -86,9 +86,11 @@ def all_queries(unmerged: bool | None = None) -> dict[str, QuerySpec]:
             "rows at 50 — merge queries instead of exceeding the cap"
         )
     if unmerged:
+        from fluent_server_spark.queries.sketch_oracles import SKETCH_QUERIES
         from fluent_server_spark.queries.unmerged import split_queries
 
         splits = split_queries(merged)
+        splits.update(SKETCH_QUERIES)  # pre-staged cap-lift pairs, §8 r5
         overlap = merged.keys() & splits.keys()
         if overlap:
             raise ValueError(f"split names collide with registry: {overlap}")

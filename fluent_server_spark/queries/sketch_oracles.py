@@ -1,0 +1,107 @@
+"""Pre-staged driver queries for the sketch family (cap-lift readiness,
+SURVEY §8 r5 lever: "bloom/KMV/CMS/HLL builds are SQL-replayable —
+pre-stage oracles so they become driver rows immediately").
+
+The 50-query driver cap is full, so these register ONLY under the
+un-merge toggle (all_queries(unmerged=True) / SPARK_GRAFT_UNMERGED=1),
+AFTER the canonical 50 — same contract as queries/unmerged.py. The
+registry-guard pytest validates each against its DuckDB oracle at
+sf0.001, so the pairs are proven now and promotable by moving one line.
+
+Every sketch uses the repo's portable md5 constructions, so the oracle
+replays the EXACT state (not an approximation of it): bucket ids,
+registers, ranks, bit positions, and sample membership are all pure
+functions of the input."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from fluent_server_spark.queries import QuerySpec, load_table
+
+_H15 = "CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+CMS_DEPTH, CMS_WIDTH = 5, 1024
+HLL_P = 12
+BLOOM_M, BLOOM_K = 4096, 3
+KMV_K = 64
+
+
+def q_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_server_spark.operators.sketches import count_min_build
+
+    docs = load_table(spark, sf_dir, "documents")
+    return count_min_build(docs, "source", depth=CMS_DEPTH, width=CMS_WIDTH)
+
+
+SQL_CMS_SKETCH = f"""
+WITH ds AS (SELECT unnest(range({CMS_DEPTH})) AS d),
+probes AS (
+  SELECT CAST(ds.d AS INTEGER) AS d,
+         CAST({_H15.format(expr="'cms-' || ds.d || ':' || CAST(source AS VARCHAR)")}
+              % {CMS_WIDTH} AS INTEGER) AS bucket
+  FROM documents, ds)
+SELECT d, bucket, count(*) AS cnt FROM probes GROUP BY d, bucket
+"""
+
+
+def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_server_spark.operators.sketches import hll_build
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hll_build(docs, "doc_id", p=HLL_P)
+
+
+_HLL_H = _H15.format(expr="'hll:' || CAST(doc_id AS VARCHAR)")
+_HLL_NB = 60 - HLL_P
+
+SQL_HLL_SKETCH = f"""
+WITH h AS (SELECT {_HLL_H} AS hv FROM documents),
+r AS (
+  SELECT CAST(hv % {1 << HLL_P} AS INTEGER) AS register,
+         CASE WHEN (hv >> {HLL_P}) = 0 THEN {_HLL_NB + 1}
+              ELSE {_HLL_NB + 1} - length(bin(hv >> {HLL_P}))
+         END AS rank
+  FROM h)
+SELECT register, CAST(max(rank) AS INTEGER) AS max_rank
+FROM r GROUP BY register
+"""
+
+
+def q_bloom_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_server_spark.operators.sketches import bloom_build
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bloom_build(docs, "doc_id", m_bits=BLOOM_M, n_hashes=BLOOM_K)
+
+
+SQL_BLOOM_SKETCH = f"""
+WITH ks AS (SELECT unnest(range({BLOOM_K})) AS i),
+probes AS (
+  SELECT CAST({_H15.format(expr="'bloom~' || ks.i || ':' || CAST(doc_id AS VARCHAR)")}
+              % {BLOOM_M} AS INTEGER) AS pos
+  FROM documents, ks)
+SELECT DISTINCT pos FROM probes
+"""
+
+
+def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_server_spark.operators.sketches import bottomk_build
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bottomk_build(docs, "n_chars", key_col="doc_id", k=KMV_K)
+
+
+SQL_KMV_SKETCH = f"""
+SELECT md5('kmv:' || CAST(doc_id AS VARCHAR)) AS hkey, n_chars AS value
+FROM documents
+ORDER BY hkey LIMIT {KMV_K}
+"""
+
+
+SKETCH_QUERIES: dict[str, QuerySpec] = {
+    "cms_sketch": QuerySpec(q_cms_sketch, SQL_CMS_SKETCH),
+    "hll_sketch": QuerySpec(q_hll_sketch, SQL_HLL_SKETCH),
+    "bloom_sketch": QuerySpec(q_bloom_sketch, SQL_BLOOM_SKETCH),
+    "kmv_sketch": QuerySpec(q_kmv_sketch, SQL_KMV_SKETCH),
+}

@@ -84,7 +84,7 @@ def test_unmerged_toggle_appends_split_views(spark):
     names = list(full)
     assert names[:50] == base
     splits = names[50:]
-    assert len(splits) == 13
+    assert len(splits) == 17  # 13 un-merge views + 4 pre-staged sketch pairs
 
     import sys
 
