@@ -17,6 +17,8 @@ import io
 import re
 import sys
 
+from pyspark.sql import functions as F
+
 sys.path.insert(0, "/root/repo")
 
 SF = "/root/testdata/sf0.001"
@@ -237,6 +239,16 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
 }
 
 
+def _nb_plan(spark):
+    from fluent_server_spark.operators.nb_classifier import nb_score, train_nb
+    from fluent_server_spark.queries import load_table
+
+    docs = load_table(spark, SF, "documents")
+    labeled = docs.select("text", (F.col("doc_id") % 2 == 0).alias("label"))
+    model, consts = train_nb(labeled)
+    return nb_score(docs, model, consts)
+
+
 def _extra_plans():
     """Plans for operators with no (or no longer a) registry query of
     their own — name -> (df_factory(spark), must, must_not). Their 100 TB
@@ -316,6 +328,15 @@ def _extra_plans():
             ),
             ["HashAggregate"],
             ["Join", "CartesianProduct", "Python", "Generate"],
+        ),
+        # NB classifier: train = one explode + one two-class agg (the
+        # one-row totals/docs tables ride as broadcast single-row
+        # joins); score = LEFT equi-join on token + keyed agg — no
+        # Python, no cartesian product anywhere
+        "nb_train_and_score": (
+            lambda spark: _nb_plan(spark),
+            ["Generate", "HashAggregate"],
+            ["CartesianProduct", "Python"],
         ),
         # Bloom build: one Generate (explode to k positions) + distinct
         # (= partial/final agg) — sparse <= m_bits rows; no join, no
