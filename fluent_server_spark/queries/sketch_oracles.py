@@ -105,3 +105,72 @@ SKETCH_QUERIES: dict[str, QuerySpec] = {
     "bloom_sketch": QuerySpec(q_bloom_sketch, SQL_BLOOM_SKETCH),
     "kmv_sketch": QuerySpec(q_kmv_sketch, SQL_KMV_SKETCH),
 }
+
+
+# --------------------------------------------- NB classifier (train+score)
+
+NB_SMOOTH = 1.0
+
+
+def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-label demo of the supervised corpus filter: train on
+    lang=='en' as the keep-class, score every doc. BOTH halves (train
+    and score) are joins + aggregations, so the whole path — token
+    class counts, smoothing, OOV constant, prior — replays in SQL."""
+    from pyspark.sql import functions as F
+
+    from fluent_server_spark.operators.nb_classifier import nb_score, train_nb
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.select("text", (F.col("lang") == "en").alias("label"))
+    model, consts = train_nb(labeled, smoothing=NB_SMOOTH)
+    return nb_score(docs, model, consts)
+
+
+SQL_NB_QUALITY = f"""
+WITH labeled AS (
+  SELECT text, (lang = 'en') AS y FROM documents),
+toks AS (
+  SELECT y, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+  FROM labeled),
+toks2 AS (SELECT * FROM toks WHERE token <> ''),
+counts AS (
+  SELECT token,
+         sum(CASE WHEN y THEN 1 ELSE 0 END) AS c_pos,
+         sum(CASE WHEN y THEN 0 ELSE 1 END) AS c_neg
+  FROM toks2 GROUP BY token),
+totals AS (
+  SELECT sum(c_pos) AS n_pos, sum(c_neg) AS n_neg, count(*) AS v FROM counts),
+dc AS (
+  SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS d_pos,
+         sum(CASE WHEN y THEN 0 ELSE 1 END) AS d_neg
+  FROM labeled),
+model AS (
+  SELECT token,
+         round(ln((c_pos + {NB_SMOOTH}) / (n_pos + {NB_SMOOTH} * v))
+             - ln((c_neg + {NB_SMOOTH}) / (n_neg + {NB_SMOOTH} * v)), 10) AS llr
+  FROM counts, totals),
+consts AS (
+  SELECT round(ln(CAST(d_pos AS DOUBLE)) - ln(CAST(d_neg AS DOUBLE)), 10) AS log_prior,
+         round(ln({NB_SMOOTH} / (n_pos + {NB_SMOOTH} * v))
+             - ln({NB_SMOOTH} / (n_neg + {NB_SMOOTH} * v)), 10) AS llr_unseen
+  FROM totals, dc),
+dtoks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+  FROM documents),
+dtoks2 AS (SELECT * FROM dtoks WHERE token <> ''),
+contrib AS (
+  SELECT d.doc_id,
+         round(any_value(c.log_prior)
+               + sum(coalesce(m.llr, c.llr_unseen)), 6) AS score
+  FROM dtoks2 d LEFT JOIN model m USING (token), consts c
+  GROUP BY d.doc_id)
+SELECT docs.doc_id,
+       coalesce(contrib.score, round(c.log_prior, 6)) AS score,
+       coalesce(contrib.score, round(c.log_prior, 6)) > 0 AS keep
+FROM documents docs LEFT JOIN contrib ON docs.doc_id = contrib.doc_id, consts c
+"""
+
+
+SKETCH_QUERIES["nb_quality"] = QuerySpec(q_nb_quality, SQL_NB_QUALITY)
