@@ -306,3 +306,83 @@ def test_jaccard_count_kernel_matches_set_oracle(spark, batch, threshold):
         for r in jaccard_join_count(df, threshold=threshold).collect()
     }
     assert got == want
+
+
+# ------------------------------------------------------- sketch family
+
+skeys = st.lists(
+    st.text(alphabet="abcdefg0123456789", min_size=1, max_size=6),
+    min_size=1,
+    max_size=120,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(a=skeys, b=skeys)
+def test_bloom_never_false_negative_property(spark, a, b):
+    """For ANY member set and probe set: every probe that IS a member
+    reads maybe_present (zero false negatives, the Bloom contract)."""
+    from fluent_server_spark.operators.sketches import bloom_build, bloom_contains
+
+    members = spark.createDataFrame([(k,) for k in a], "k string")
+    sk = bloom_build(members, "k", m_bits=1 << 10, n_hashes=4)
+    probes = spark.createDataFrame([(k,) for k in set(a) | set(b)], "k string")
+    got = {
+        r["k"]: r["maybe_present"]
+        for r in bloom_contains(probes, sk, "k", m_bits=1 << 10, n_hashes=4).collect()
+    }
+    for k in set(a):
+        assert got[k], f"false negative for member {k!r}"
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(a=skeys, b=skeys, c=skeys)
+def test_kmv_merge_associative_property(spark, a, b, c):
+    """merge(merge(A,B),C) == build(A+B+C) for ANY overlapping splits —
+    the KMV determinism contract that makes epoch re-ingest safe."""
+    from fluent_server_spark.operators.sketches import bottomk_build, bottomk_merge
+
+    k = 16
+
+    def df(keys):
+        return spark.createDataFrame([(x,) for x in keys], "v string")
+
+    m = bottomk_merge(
+        bottomk_merge(bottomk_build(df(a), "v", k=k),
+                      bottomk_build(df(b), "v", k=k), k=k),
+        bottomk_build(df(c), "v", k=k),
+        k=k,
+    )
+    direct = bottomk_build(df(a + b + c), "v", k=k)
+    assert {(r["hkey"], r["value"]) for r in m.collect()} == {
+        (r["hkey"], r["value"]) for r in direct.collect()
+    }
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(a=skeys, b=skeys)
+def test_cms_estimate_dominates_truth_property(spark, a, b):
+    """Merged count-min estimates never undercount ANY key of the
+    concatenated stream (one-sided error survives merging)."""
+    from collections import Counter
+
+    from fluent_server_spark.operators.sketches import (
+        count_min_build,
+        count_min_estimate,
+        count_min_merge,
+    )
+
+    da = spark.createDataFrame([(k,) for k in a], "k string")
+    db = spark.createDataFrame([(k,) for k in b], "k string")
+    merged = count_min_merge(
+        count_min_build(da, "k", depth=3, width=64),
+        count_min_build(db, "k", depth=3, width=64),
+    )
+    truth = Counter(a) + Counter(b)
+    keys = spark.createDataFrame([(k,) for k in truth], "k string")
+    est = {
+        r["k"]: r["estimate"]
+        for r in count_min_estimate(merged, keys, "k", depth=3, width=64).collect()
+    }
+    for k, t in truth.items():
+        assert est[k] >= t, (k, est[k], t)
