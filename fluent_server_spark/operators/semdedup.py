@@ -126,6 +126,19 @@ def semdedup(
                 "embedding distribution (collapsed/zero vectors?)"
             )
 
+    # MEASURED NEGATIVE RESULT (r5, kept for the record): expressing the
+    # flag as ONE left join with the rank/eps predicates in the join
+    # condition + a keyed EXISTS agg looks cleaner on paper (both sides
+    # derive from one ranked relation; no third join-back branch) but
+    # measured 2-7x SLOWER at sf0.1 (6-25 s vs 3.2-3.5 s): pushing the
+    # dot fold into a LeftOuter join condition forfeits the inner-join
+    # fast path, and the (id, cell, rank)-keyed agg exchange costs more
+    # than the branch it saves. The inner-pair + distinct + join-back
+    # below re-plans the narrow assignment + window for the final join
+    # (Catalyst reuses the cell exchange only on the pair side), which
+    # is the cheaper trade — the assignment is arithmetic-only and
+    # scan-local, while the join-condition shape taxes every candidate
+    # pair.
     a = ranked.select(
         F.col("cell"),
         F.col("cell_rank").alias("a_rank"),
