@@ -129,3 +129,32 @@ def decontaminate_bloom(
             (F.coalesce("n_maybe_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def decontaminate_semantic(
+    train_vectors: DataFrame,
+    eval_vectors: DataFrame,
+    centroids: list[list[float]],
+    eps: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SEMANTIC decontamination — flag training items whose EMBEDDING is
+    within eps cosine of any held-out eval item. The n-gram operators
+    above catch verbatim and near-verbatim leakage; this catches
+    paraphrased eval contamination (the published concern behind
+    embedding-based decontamination in recent model cards), and it IS
+    :func:`fluent_server_spark.operators.semdedup.semdedup_against`
+    with the roles cast as batch=train, corpus=eval: cell-pruned
+    equi-join, never train x eval all-pairs, eval side tiny.
+
+    Returns (id_col, cell, contaminated) per train item.
+    """
+    from fluent_server_spark.operators.semdedup import semdedup_against
+
+    flags = semdedup_against(
+        train_vectors, eval_vectors, centroids, eps, id_col, vec_col
+    )
+    return flags.select(
+        id_col, "cell", F.col("is_semdup").alias("contaminated")
+    )

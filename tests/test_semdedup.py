@@ -175,3 +175,27 @@ def test_semdedup_empty_and_single_input(spark):
     )
     rows = semdedup(one, cents, eps=0.5).collect()
     assert len(rows) == 1 and not rows[0]["is_semdup"] and rows[0]["cell_rank"] == 1
+
+
+def test_semantic_decontamination_wrapper(spark, clustered):
+    """decontaminate_semantic == semdedup_against with train/eval roles:
+    a train item near an eval item flags; far items pass."""
+    from fluent_server_spark.operators.decontaminate import decontaminate_semantic
+
+    pts, df = clustered
+    cents = train_centroids(df, k=4, dim=8, seed=3)
+    eval_vecs = df.filter("vec_id < 2")  # two eval anchors
+    train_vecs = spark.createDataFrame(
+        [
+            (500, [float(x) for x in pts[0] * 1.002]),  # paraphrase-close to eval 0
+            (501, [float(-x) for x in pts[0]]),          # opposite direction
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["contaminated"]
+        for r in decontaminate_semantic(
+            train_vecs, eval_vecs, cents, eps=0.95
+        ).collect()
+    }
+    assert got[500] is True and got[501] is False
