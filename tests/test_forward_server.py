@@ -950,3 +950,109 @@ def test_cli_live_edge_dedup_on_ingest(spark, tmp_path, turns_pdf):
     assert len(dup_keys) >= 30  # the 30 re-used texts must all flag
     assert got.get("sink_duplicates", 0) == len(dup_keys)
     assert sum(got.values()) == len(sample)  # nothing lost, nothing duped
+
+
+def test_cli_live_edge_dedup_kill9_exactly_once(spark, tmp_path, turns_pdf):
+    """Hard-crash exactly-once for the dedup-ingest composition: SIGKILL
+    the --dedup-index live edge mid-epoch with acked chunks in flight,
+    restart on the same spool/checkpoint/sinks — the replayed epoch
+    OVERWRITES its own dir (never appends), leftover segments seal, and
+    final counts equal the batch decision on the same turns."""
+    import json
+    import os
+    import signal as _signal
+    import subprocess
+    import sys
+
+    from fluent_server_spark.operators.dedup import (
+        minhash_lsh_pairs_against,
+        write_minhash_index,
+    )
+
+    sample = turns_pdf.head(160)
+    corpus_rows = [(i, t) for i, t in enumerate(sample.head(25)["text"].tolist())]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    idx = str(tmp_path / "corpus_idx")
+    write_minhash_index(corpus, idx)
+
+    spool, sinks, ck = (str(tmp_path / x) for x in ("spool", "sinks", "ck"))
+    env = {**os.environ, "PYTHONPATH": "/root/repo"}
+
+    def argv(max_seconds):
+        return [sys.executable, "-m", "fluent_server_spark",
+                "--live-edge", spool, "--sinks", sinks, "--checkpoint", ck,
+                "--dedup-index", idx, "--dedup-threshold", "0.5",
+                "--host", "127.0.0.1", "--port", "0", "--cpus", "4",
+                "--rotate-seconds", "1.0", "--max-seconds", str(max_seconds)]
+
+    entries = [
+        (
+            int(row.ts.timestamp()),
+            {
+                "conv_id": row.conv_id,
+                "turn_idx": int(row.turn_idx),
+                "role": row.role,
+                "text": row.text,
+                "tool": row.tool,
+            },
+        )
+        for row in sample.itertuples()
+    ]
+
+    proc = subprocess.Popen(
+        argv(300), stdout=subprocess.PIPE, text=True, cwd="/root/repo",
+        env=env, start_new_session=True,
+    )
+    try:
+        banner = json.loads(proc.stdout.readline())
+        port = banner["live_edge"]["port"]
+
+        async def send():
+            cli = ForwardClient("127.0.0.1", port)
+            await cli.connect()
+            half = len(entries) // 2
+            a1 = await cli.send_raw(
+                _forward_frame("transcripts", entries[:half],
+                               option={"chunk": "a"}),
+                await_ack=True,
+            )
+            await asyncio.sleep(2.5)  # rotate timer seals chunk a
+            a2 = await cli.send_raw(
+                _forward_frame("transcripts", entries[half:],
+                               option={"chunk": "b"}),
+                await_ack=True,
+            )
+            return a1, a2
+
+        assert asyncio.run(send()) == ({"ack": "a"}, {"ack": "b"})
+    finally:
+        os.killpg(os.getpgid(proc.pid), _signal.SIGKILL)
+        proc.wait(timeout=30)
+
+    proc2 = subprocess.Popen(
+        argv(25), stdout=subprocess.PIPE, text=True, cwd="/root/repo", env=env,
+    )
+    try:
+        json.loads(proc2.stdout.readline())  # banner
+        out, _ = proc2.communicate(timeout=240)
+        assert proc2.returncode == 0
+        final = json.loads(out.strip().splitlines()[-1])
+        got = final["sink_counts"]
+    finally:
+        if proc2.poll() is None:
+            proc2.kill()
+
+    keyed = spark.createDataFrame(sample).select(
+        F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias(
+            "doc_id"
+        ),
+        "text",
+    )
+    dup_keys = {
+        r["new_id"]
+        for r in minhash_lsh_pairs_against(
+            keyed, corpus_index=idx, threshold=0.5
+        ).collect()
+    }
+    assert got.get("sink_duplicates", 0) == len(dup_keys)
+    assert sum(got.values()) == len(sample)
