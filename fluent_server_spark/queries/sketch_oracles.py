@@ -174,3 +174,118 @@ FROM documents docs LEFT JOIN contrib ON docs.doc_id = contrib.doc_id, consts c
 
 
 SKETCH_QUERIES["nb_quality"] = QuerySpec(q_nb_quality, SQL_NB_QUALITY)
+
+
+# --------------------------------------------- hybrid retrieval (RRF)
+
+HYBRID_DEPTH, HYBRID_K, HYBRID_NGRAM = 20, 10, 3
+
+
+def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 + character-trigram retrieval fused by Reciprocal Rank
+    Fusion (operators/fusion.py) — same literal query set as bm25_topk,
+    per-retriever depth 20, fused top-10. The whole path (both
+    retrievers + fusion) replays in SQL."""
+    from fluent_server_spark.operators.fusion import hybrid_topk
+    from fluent_server_spark.queries import spread
+    from fluent_server_spark.queries.docs import BM25_QUERY_SET
+
+    docs = load_table(spark, sf_dir, "documents")
+    values = ", ".join(f"({i}, '{q}')" for i, q in BM25_QUERY_SET)
+    qs = spark.sql(f"SELECT * FROM (VALUES {values}) AS t(query_id, query)")
+    return hybrid_topk(
+        spread(docs), qs, k=HYBRID_K, depth=HYBRID_DEPTH, ngram=HYBRID_NGRAM
+    )
+
+
+def _sql_hybrid_topk() -> str:
+    from fluent_server_spark.operators.fusion import RRF_K
+    from fluent_server_spark.queries.docs import BM25_QUERY_SET
+
+    values = ", ".join(f"({i}, '{q}')" for i, q in BM25_QUERY_SET)
+    n = HYBRID_NGRAM
+    return f"""
+WITH q(query_id, query) AS (VALUES {values}),
+-- ------------------------------------------------ BM25 side (depth {HYBRID_DEPTH})
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents),
+postings AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
+  GROUP BY doc_id, term),
+doclen AS (SELECT doc_id, sum(tf) AS dl FROM postings GROUP BY doc_id),
+stats AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+qterms AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id,
+           unnest(regexp_split_to_array(lower(trim(query)), '\\s+')) AS term
+    FROM q) WHERE term <> ''),
+bm_scored AS (
+  SELECT qt.query_id, p.doc_id,
+         round(sum(
+           ln((c.n_docs - s.df + 0.5) / (s.df + 0.5) + 1.0)
+           * p.tf * (1.2 + 1)
+           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / c.avgdl))
+         ), 6) AS score
+  FROM postings p
+  JOIN qterms qt USING (term)
+  JOIN stats s USING (term)
+  JOIN doclen d USING (doc_id), corpus c
+  GROUP BY qt.query_id, p.doc_id),
+bm_ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rk
+  FROM bm_scored),
+-- ------------------------------------------- trigram side (depth {HYBRID_DEPTH})
+dgrams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(length(lower(trim(text))) - {n - 1}, 1) + 1),
+             i -> substr(lower(trim(text)), CAST(i AS INT), {n}))) AS gram
+    FROM documents) WHERE gram <> ''),
+dlen AS (SELECT doc_id, count(*) AS dlen FROM dgrams GROUP BY doc_id),
+qgrams AS (
+  SELECT DISTINCT query_id, gram FROM (
+    SELECT query_id,
+           unnest(list_transform(
+             range(1, greatest(length(lower(trim(query))) - {n - 1}, 1) + 1),
+             i -> substr(lower(trim(query)), CAST(i AS INT), {n}))) AS gram
+    FROM q) WHERE gram <> ''),
+qlen AS (SELECT query_id, count(*) AS qlen FROM qgrams GROUP BY query_id),
+cg_scored AS (
+  SELECT i.query_id, i.doc_id,
+         round(i.m / (d.dlen + ql.qlen - i.m), 6) AS score
+  FROM (SELECT qg.query_id, dg.doc_id, count(*) AS m
+        FROM dgrams dg JOIN qgrams qg USING (gram)
+        GROUP BY qg.query_id, dg.doc_id) i
+  JOIN dlen d USING (doc_id)
+  JOIN qlen ql USING (query_id)),
+cg_ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rk
+  FROM cg_scored),
+-- ------------------------------------------------------------ RRF fusion
+unioned AS (
+  SELECT query_id, doc_id, rk FROM bm_ranked WHERE rk <= {HYBRID_DEPTH}
+  UNION ALL
+  SELECT query_id, doc_id, rk FROM cg_ranked WHERE rk <= {HYBRID_DEPTH}),
+fused AS (
+  SELECT query_id, doc_id,
+         round(sum(1.0 / ({RRF_K} + rk)), 10) AS rrf_score,
+         count(*) AS n_lists
+  FROM unioned GROUP BY query_id, doc_id),
+final AS (
+  SELECT query_id, doc_id, rrf_score, n_lists,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_score DESC, doc_id) AS rk
+  FROM fused)
+SELECT query_id, rk, doc_id, rrf_score, n_lists
+FROM final WHERE rk <= {HYBRID_K}
+"""
+
+
+SKETCH_QUERIES["hybrid_topk"] = QuerySpec(q_hybrid_topk, _sql_hybrid_topk())

@@ -395,6 +395,19 @@ def _extra_plans():
             ["HashAggregate", "TakeOrderedAndProject"],
             ["Join", "CartesianProduct", "Python", "Window"],
         ),
+        # r5 hybrid retrieval: BOTH retrievers keep their audited shapes
+        # (query-side broadcasts, keyed aggs, per-query windows); the
+        # fusion itself is a Union of two depth-bounded top-k lists + one
+        # hash agg + one window — corpus-size-free, no cross join, no
+        # Python anywhere in the fused plan
+        "hybrid_topk (RRF)": (
+            lambda spark: __import__(
+                "fluent_server_spark.queries.sketch_oracles",
+                fromlist=["q_hybrid_topk"],
+            ).q_hybrid_topk(spark, SF),
+            ["Union", "HashAggregate", "BroadcastHashJoin", "Window"],
+            ["CartesianProduct", "Python"],
+        ),
         # Z-order write layout: ONE range exchange on the Morton code +
         # in-partition sort; the min/max bounds agg is a separate bounded
         # one-row collect, so the layout plan itself is exchange+sort only
