@@ -289,3 +289,75 @@ FROM final WHERE rk <= {HYBRID_K}
 
 
 SKETCH_QUERIES["hybrid_topk"] = QuerySpec(q_hybrid_topk, _sql_hybrid_topk())
+
+
+# ------------------------------------- DSIR importance weights (Xie '23)
+
+DSIR_B, DSIR_SMOOTH = 1 << 16, 1.0
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (operators/dsir.py) log importance weights of every doc
+    toward the lang='en' slice as the target set — the featurize ->
+    fit -> score path end-to-end. Hashed buckets are portable md5, so
+    the weights replay exactly in SQL (the Gumbel resample is hash-
+    deterministic too; tests pin it, the oracle pins the weights)."""
+    from pyspark.sql import functions as F
+
+    from fluent_server_spark.operators.dsir import (
+        dsir_model,
+        dsir_weights,
+        gram_bucket_counts,
+    )
+    from fluent_server_spark.queries import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    target = docs.filter(F.col("lang") == "en")
+    rc = gram_bucket_counts(docs, n_buckets=DSIR_B)
+    tc = gram_bucket_counts(target, n_buckets=DSIR_B)
+    model, consts = dsir_model(rc, tc, n_buckets=DSIR_B, smoothing=DSIR_SMOOTH)
+    return dsir_weights(docs, model, consts, n_buckets=DSIR_B)
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH ws_tbl AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
+                     w -> w <> '') AS ws
+  FROM documents),
+grams AS (
+  SELECT doc_id, lang,
+         unnest(ws || CASE WHEN len(ws) >= 2
+           THEN list_transform(range(1, len(ws)),
+                               i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1])
+           ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM ws_tbl),
+gb AS (
+  SELECT doc_id, lang,
+         CAST(CAST('0x' || substr(md5('dsir:' || gram), 1, 15) AS BIGINT)
+              % {DSIR_B} AS INTEGER) AS bucket
+  FROM grams),
+rcounts AS (SELECT bucket, count(*) AS r_cnt FROM gb GROUP BY bucket),
+tcounts AS (SELECT bucket, count(*) AS t_cnt FROM gb WHERE lang = 'en'
+            GROUP BY bucket),
+totals AS (
+  SELECT (SELECT sum(r_cnt) FROM rcounts) AS rt,
+         (SELECT coalesce(sum(t_cnt), 0) FROM tcounts) AS tt),
+model AS (
+  SELECT coalesce(t.bucket, r.bucket) AS bucket,
+         round(ln((coalesce(t.t_cnt, 0) + {DSIR_SMOOTH}) / (tt + {DSIR_SMOOTH} * {DSIR_B}))
+             - ln((coalesce(r.r_cnt, 0) + {DSIR_SMOOTH}) / (rt + {DSIR_SMOOTH} * {DSIR_B})),
+               10) AS llr
+  FROM tcounts t FULL JOIN rcounts r ON t.bucket = r.bucket, totals),
+scored AS (
+  SELECT gb.doc_id, count(*) AS n_grams, round(sum(m.llr), 6) AS log_w
+  FROM gb JOIN model m USING (bucket)
+  GROUP BY gb.doc_id)
+SELECT d.doc_id,
+       coalesce(s.n_grams, 0) AS n_grams,
+       coalesce(s.log_w, 0.0) AS log_w
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+SKETCH_QUERIES["dsir_weights"] = QuerySpec(q_dsir_weights, SQL_DSIR_WEIGHTS)

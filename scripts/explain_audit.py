@@ -408,6 +408,34 @@ def _extra_plans():
             ["Union", "HashAggregate", "BroadcastHashJoin", "Window"],
             ["CartesianProduct", "Python"],
         ),
+        # r5 DSIR featurize->fit->score: bucket distributions are
+        # map-side-combined aggs (Generate = the gram explode); the
+        # model is a keyed full-outer join of two <=B-row tables; doc
+        # scoring is a LEFT equi-join + keyed agg — no cross join
+        # beyond the one-row totals broadcast, no Python
+        "dsir_weights (train+score)": (
+            lambda spark: __import__(
+                "fluent_server_spark.queries.sketch_oracles",
+                fromlist=["q_dsir_weights"],
+            ).q_dsir_weights(spark, SF),
+            ["Generate", "HashAggregate"],
+            ["CartesianProduct", "Python"],
+        ),
+        # r5 DSIR Gumbel top-n resample: the sample key is a narrow
+        # hash expression over the weights table; global top-n compiles
+        # to TakeOrderedAndProject (per-partition minima, n-row driver
+        # merge) — NO full-sort exchange, no Python
+        "dsir_select (resample)": (
+            lambda spark: __import__(
+                "fluent_server_spark.operators.dsir", fromlist=["dsir_select"]
+            ).dsir_select(
+                load_table(spark, SF, "documents"),
+                load_table(spark, SF, "documents").filter(F.col("lang") == "en"),
+                25,
+            ),
+            ["TakeOrderedAndProject", "Generate", "HashAggregate"],
+            ["CartesianProduct", "Python", "Exchange rangepartitioning"],
+        ),
         # Z-order write layout: ONE range exchange on the Morton code +
         # in-partition sort; the min/max bounds agg is a separate bounded
         # one-row collect, so the layout plan itself is exchange+sort only

@@ -84,7 +84,7 @@ def test_unmerged_toggle_appends_split_views(spark):
     names = list(full)
     assert names[:50] == base
     splits = names[50:]
-    assert len(splits) == 19  # 13 un-merge views + 6 pre-staged pairs (sketches + NB + hybrid RRF)
+    assert len(splits) == 20  # 13 un-merge views + 7 pre-staged pairs (sketches, NB, hybrid RRF, DSIR)
 
     import sys
 
