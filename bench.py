@@ -87,6 +87,19 @@ HEADLINE_QUERIES = [
 
 PIPELINE_ROWS_DEFAULT = 5_000_000
 
+# pressure-honesty reference (BENCH/BASELINE.md r5 finding: in-run
+# walls carry up to ~1.8x neighbor pressure at matched calibration).
+# expected_walls.json records each query's best known steady-state wall
+# (full-bench records + the fresh-JVM isolation protocol); queries
+# measuring > OUTLIER_RATIO x expected (and >= OUTLIER_FLOOR s absolute,
+# below which overhead dominates) get ONE targeted extra run, and
+# whatever still exceeds the band is reported as a pressure outlier so
+# cross-round readers can separate "slower code" from "crowded run".
+EXPECTED_WALLS = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH", "expected_walls.json"
+)
+OUTLIER_RATIO, OUTLIER_FLOOR = 1.5, 1.0
+
 
 def default_work_dir() -> str:
     env = os.environ.get("BENCH_WORK")
@@ -274,6 +287,35 @@ def main() -> int:
                 queries[name], time_query(spark, specs[name].fn, args.sf_dir)
             )
 
+    expected: dict[str, float] = {}
+    pressure_outliers: dict[str, dict] = {}
+    if queries:
+        try:
+            with open(EXPECTED_WALLS) as f:
+                ref = json.load(f)
+            # the reference walls are specific to one (sf, cpus) point —
+            # at any other operating point they are not comparable
+            if args.sf_dir.rstrip("/").endswith(f"sf{ref.get('sf')}") and args.cpus == ref.get("cpus"):
+                expected = ref.get("expected", {})
+        except OSError:
+            pass
+        flagged = [
+            n
+            for n in HEADLINE_QUERIES
+            if n in expected
+            and queries[n] >= OUTLIER_FLOOR
+            and queries[n] > OUTLIER_RATIO * expected[n]
+        ]
+        for name in flagged:  # one targeted extra run each
+            queries[name] = min(
+                queries[name], time_query(spark, specs[name].fn, args.sf_dir)
+            )
+        pressure_outliers = {
+            n: {"wall": queries[n], "expected": expected[n]}
+            for n in flagged
+            if queries[n] > OUTLIER_RATIO * expected[n]
+        }
+
     pipeline: dict = {}
     if not args.skip_pipeline:
         pipeline = run_pipeline_bench(
@@ -300,6 +342,15 @@ def main() -> int:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": args.cpus,
         "calibration_mops": calibration,
+        # steady-state reference total + queries still above the outlier
+        # band AFTER their extra run — nonempty means this window was
+        # crowded; compare `value` against `expected_total` accordingly
+        "expected_total": (
+            round(sum(expected[n] for n in queries if n in expected), 3)
+            if expected
+            else None
+        ),
+        "pressure_outliers": pressure_outliers,
         "pipeline": pipeline,
     }
     print(json.dumps(out))
