@@ -107,26 +107,37 @@ def dsir_model(
     target_counts: DataFrame,
     n_buckets: int = DSIR_BUCKETS,
     smoothing: float = 1.0,
+    materialize: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """(model, consts): model = (bucket, llr) for buckets seen in either
     distribution; consts = one row (llr_unseen) for buckets seen in
     neither. llr(b) = ln p_target(b) - ln p_raw(b) with add-k smoothing
     over all B buckets: p(b) = (cnt(b) + k) / (total + k*B).
 
+    The two totals come from the SAME full-outer join the model reads
+    (sum ignores the nulls the join introduces), and `materialize`
+    persists that bounded (<= 2B-row) table — without it, lineage
+    re-execution would re-explode the corpus once for the totals and
+    once for the model (measured 5 corpus passes instead of 3 for the
+    full weights path). In a production pipeline the distributions are
+    WRITTEN tables (the mergeable-sketch contract) and this is moot;
+    materialize=False keeps pure lineage for plan-shape audits.
+
     llr values are rounded to 10 decimals so the model table is a pure
-    function of the inputs (the two totals are single-row aggregates;
-    no float accumulation order can leak into the stored model)."""
+    function of the inputs (the totals are single-row aggregates; no
+    float accumulation order can leak into the stored model)."""
     if smoothing <= 0:
         raise ValueError("smoothing must be > 0 (unseen buckets need mass)")
     s = float(smoothing)
-    t_tot = target_counts.agg(F.sum("cnt").alias("_tt"))
-    r_tot = raw_counts.agg(F.sum("cnt").alias("_rt"))
-    totals = t_tot.crossJoin(r_tot)  # one row x one row
-    joined = (
-        target_counts.withColumnRenamed("cnt", "t_cnt")
-        .join(raw_counts.withColumnRenamed("cnt", "r_cnt"), "bucket", "full")
-        .crossJoin(F.broadcast(totals))
+    counts = target_counts.withColumnRenamed("cnt", "t_cnt").join(
+        raw_counts.withColumnRenamed("cnt", "r_cnt"), "bucket", "full"
     )
+    if materialize:
+        counts = counts.persist()
+    totals = counts.agg(
+        F.sum("t_cnt").alias("_tt"), F.sum("r_cnt").alias("_rt")
+    )  # one row
+    joined = counts.crossJoin(F.broadcast(totals))
     llr = F.round(
         F.log(
             (F.coalesce(F.col("t_cnt"), F.lit(0)) + F.lit(s))

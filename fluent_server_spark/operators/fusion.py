@@ -77,10 +77,19 @@ def chargram_topk(
     (tiny -> broadcast), gram equi-join restricted to query grams,
     one (query, doc) hash agg for the intersection size, Jaccard from
     the two distinct-gram counts. No UDFs, no cross join."""
+    grams = _chargrams(F.col(text_col), n)
     dgrams = docs.select(
-        F.col(id_col), F.explode(_chargrams(F.col(text_col), n)).alias("gram")
+        F.col(id_col), F.explode(grams).alias("gram")
     ).filter(F.col("gram") != "")
-    dlen = dgrams.groupBy(id_col).agg(F.count(F.lit(1)).alias("dlen"))
+    # |D| as a NARROW per-row expression (size of the distinct-gram
+    # array, minus the empty gram a blank text yields) — a groupBy over
+    # the exploded grams would re-execute the corpus-sized explode just
+    # to count what each row already knows (measured ~2x on the whole
+    # retriever at sf0.1)
+    dlen = docs.select(
+        F.col(id_col),
+        F.size(F.filter(grams, lambda g: g != "")).alias("dlen"),
+    )
 
     if max_df is not None:
         n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))  # one row
