@@ -307,6 +307,105 @@ def _run_live_edge(args) -> int:
     return 0
 
 
+def _run_curate(args) -> int:
+    """One-command corpus curation — the batch composition a training-
+    data team actually runs, chaining the operator family end-to-end:
+
+        exact dedup -> near-dup clustering (minhash LSH + connected
+        components) -> n-gram decontamination (optional, needs an eval
+        set) -> perplexity band quality filter -> DSIR target selection
+        (optional) -> deterministic train/val/test split -> partitioned
+        parquet + a stage-count manifest.
+
+    Every stage is hash-deterministic, so two runs over the same input
+    produce byte-identical keep sets — the manifest records per-stage
+    survivor counts for audit. Usage:
+
+        python -m fluent_server_spark --curate OUT_DIR \
+            --input /data/sfX [--curate-eval EVAL.parquet] \
+            [--curate-select N] [--curate-target-lang en]
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fluent_server_spark.operators.decontaminate import decontaminate
+    from fluent_server_spark.operators.dedup import (
+        connected_components,
+        dedup_keep_first,
+        minhash_lsh_pairs,
+    )
+    from fluent_server_spark.operators.dsir import dsir_select
+    from fluent_server_spark.operators.lm_quality import perplexity_band_filter
+    from fluent_server_spark.operators.sampling import sample_hash
+
+    spark = get_spark("fss-curate", cpus=args.cpus)
+    src = args.input
+    if src and os.path.isdir(src) and os.path.exists(f"{src}/documents.parquet"):
+        src = f"{src}/documents.parquet"
+    docs = spark.read.parquet(src)
+    stages: dict[str, int] = {"input": docs.count()}
+
+    docs = dedup_keep_first(docs)
+    stages["exact_dedup"] = docs.count()
+
+    pairs = minhash_lsh_pairs(docs, threshold=args.dedup_threshold)
+    comp = connected_components(pairs)
+    drop = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    docs = docs.join(drop, "doc_id", "left_anti")
+    stages["neardup_cluster_dedup"] = docs.count()
+
+    if args.curate_eval:
+        eval_docs = spark.read.parquet(args.curate_eval)
+        flags = decontaminate(docs, eval_docs)
+        docs = docs.join(
+            flags.filter(~F.col("contaminated")).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        stages["decontaminated"] = docs.count()
+
+    docs = perplexity_band_filter(docs)
+    stages["quality_band"] = docs.count()
+
+    if args.curate_select:
+        target = docs.filter(F.col("lang") == args.curate_target_lang)
+        picked = dsir_select(docs, target, args.curate_select).select("doc_id")
+        docs = docs.join(picked, "doc_id", "left_semi")
+        stages["dsir_selected"] = docs.count()
+
+    # deterministic split: disjoint exhaustive ranges of one hash
+    # (the corpus_splits contract) — reproducible across engines/runs
+    h = sample_hash(F.col("doc_id"), "curate-split")
+    out = docs.withColumn(
+        "split",
+        F.when(h < 900_000, "train").when(h < 950_000, "val").otherwise("test"),
+    )
+    out.write.mode("overwrite").partitionBy("split").parquet(
+        f"{args.curate}/documents"
+    )
+    splits = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    manifest = {
+        "stages": stages,
+        "splits": splits,
+        "params": {
+            "dedup_threshold": args.dedup_threshold,
+            "eval": args.curate_eval,
+            "select": args.curate_select,
+            "target_lang": args.curate_target_lang,
+        },
+    }
+    with open(f"{args.curate}/manifest.json", "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    print(json.dumps({"curate": manifest}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="fluent_server_spark")
     ap.add_argument("--source", default="parquet", help="parquet|csv|json|iceberg|synthetic")
@@ -349,8 +448,24 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--rotate-seconds", type=float, default=60.0)
     ap.add_argument("--max-seconds", type=float, default=0.0,
                     help="edge daemon: exit after this many seconds (0 = forever)")
+    ap.add_argument("--curate", metavar="OUT_DIR", default=None,
+                    help="one-command corpus curation over --input's documents "
+                         "table: exact dedup -> near-dup clusters -> optional "
+                         "decontamination -> quality band -> optional DSIR "
+                         "selection -> split -> partitioned parquet + manifest")
+    ap.add_argument("--curate-eval", default=None, metavar="PARQUET",
+                    help="eval-set parquet for the decontamination stage "
+                         "(omitted = stage skipped)")
+    ap.add_argument("--curate-select", type=int, default=None,
+                    help="DSIR: keep this many docs most like the target slice")
+    ap.add_argument("--curate-target-lang", default="en",
+                    help="DSIR target slice: docs with this lang value")
     args = ap.parse_args(argv)
 
+    if args.curate:
+        if not args.input:
+            ap.error("--curate requires --input")
+        return _run_curate(args)
     if args.forward_server:
         return _run_forward_server(args)
     if args.live_edge:

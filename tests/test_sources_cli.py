@@ -67,3 +67,58 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["run_id"] == "cli-test"
     assert sum(out["routed_counts"].values()) == 2000
+
+
+def test_cli_curate_end_to_end(spark, tmp_path, capsys):
+    """--curate chains dedup -> near-dup clusters -> decontamination ->
+    quality band -> DSIR selection -> split, writes partitioned parquet
+    + a manifest with monotone non-increasing stage counts, and is
+    deterministic (two runs keep the identical doc set)."""
+    eval_pq = str(tmp_path / "eval.parquet")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(
+        5
+    ).write.mode("overwrite").parquet(eval_pq)
+    out_dir = str(tmp_path / "curated")
+    rc = cli_main(
+        [
+            "--curate", out_dir,
+            "--input", "/root/testdata/sf0.001",
+            "--curate-eval", eval_pq,
+            "--curate-select", "40",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    man = json.loads((tmp_path / "curated" / "manifest.json").read_text())
+    assert out["curate"] == man
+    st = man["stages"]
+    order = [
+        "input", "exact_dedup", "neardup_cluster_dedup",
+        "decontaminated", "quality_band", "dsir_selected",
+    ]
+    vals = [st[k] for k in order]
+    assert vals == sorted(vals, reverse=True), f"stage counts grew: {st}"
+    assert st["input"] > st["decontaminated"]  # planted eval overlap dropped
+    assert st["dsir_selected"] == 40
+    assert sum(man["splits"].values()) == st["dsir_selected"]
+    docs = spark.read.parquet(f"{out_dir}/documents")
+    assert docs.count() == 40
+    assert set(
+        r["split"] for r in docs.select("split").distinct().collect()
+    ) <= {"train", "val", "test"}
+
+    out2 = str(tmp_path / "curated2")
+    assert cli_main(
+        [
+            "--curate", out2,
+            "--input", "/root/testdata/sf0.001",
+            "--curate-eval", eval_pq,
+            "--curate-select", "40",
+        ]
+    ) == 0
+    ids1 = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out2}/documents").select("doc_id").collect()
+    )
+    assert ids1 == ids2
