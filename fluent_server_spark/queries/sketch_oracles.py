@@ -361,3 +361,77 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 
 
 SKETCH_QUERIES["dsir_weights"] = QuerySpec(q_dsir_weights, SQL_DSIR_WEIGHTS)
+
+# --------------------------------------------- SFT example builder (r5)
+
+SFT_MAX_CHARS = 2000
+SFT_TARGET = ("error", "purchase")
+
+
+def q_sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sft.py over the driver events table mapped onto the
+    transcript shape the way FIXTURES.md §5 maps the pipeline: user_id
+    as conv_id, event_type as role, props as the turn text, (ts,
+    event_id) the total turn order. Every output — example assignment,
+    mask-span offsets, rendered-example digest — is a pure function of
+    the input, so the oracle replays it byte-for-byte."""
+    from pyspark.sql import functions as F
+
+    from fluent_server_spark.operators.sft import build_sft_examples
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type").alias("role"),
+        F.coalesce("props", F.lit("")).alias("text"),
+    )
+    return build_sft_examples(
+        ev,
+        SFT_MAX_CHARS,
+        key_col="user_id",
+        order_cols=("ts", "event_id"),
+        target_roles=SFT_TARGET,
+    )
+
+
+_SFT_IS_TGT = "role IN ('error', 'purchase')"
+
+SQL_SFT_EXAMPLES = f"""
+WITH t AS (
+  SELECT user_id, ts, event_id, event_type AS role,
+         coalesce(props, '') AS text,
+         '<|' || event_type || '|>' || chr(10) || coalesce(props, '')
+           || '<|end|>' || chr(10) AS rendered,
+         CAST(length(event_type) + 5 + length(coalesce(props, '')) + 8
+              AS BIGINT) AS rlen
+  FROM events),
+c AS (
+  SELECT *, coalesce(sum(rlen) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t),
+e AS (SELECT *, CAST(cum_before // {SFT_MAX_CHARS} AS BIGINT) AS example_idx
+      FROM c),
+o AS (
+  SELECT *, cum_before
+            - min(cum_before) OVER (PARTITION BY user_id, example_idx) AS off
+  FROM e)
+SELECT user_id, example_idx,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(rlen) AS BIGINT) AS example_chars,
+       CAST(sum(CASE WHEN {_SFT_IS_TGT} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_target_turns,
+       CAST(sum(CASE WHEN {_SFT_IS_TGT} THEN length(text) ELSE 0 END)
+            AS BIGINT) AS mask_chars,
+       coalesce(string_agg(
+         CASE WHEN {_SFT_IS_TGT}
+              THEN CAST(off + length(role) + 5 AS VARCHAR) || '-'
+                   || CAST(off + length(role) + 5 + length(text) AS VARCHAR)
+         END, ';' ORDER BY ts, event_id), '') AS mask_spans,
+       md5(string_agg(rendered, '' ORDER BY ts, event_id)) AS example_md5
+FROM o GROUP BY user_id, example_idx
+"""
+
+
+SKETCH_QUERIES["sft_examples"] = QuerySpec(q_sft_examples, SQL_SFT_EXAMPLES)

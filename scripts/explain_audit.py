@@ -436,6 +436,45 @@ def _extra_plans():
             ["TakeOrderedAndProject", "Generate", "HashAggregate"],
             ["CartesianProduct", "Python", "Exchange rangepartitioning"],
         ),
+        # r5 SFT example builder: prefix-sum window, per-(conv, example)
+        # offset window, and the final group-by ALL cluster on the conv
+        # key — hash(conv_id) satisfies the finer clusterings, so the
+        # whole build is ONE hash exchange; rendering/offsets/digest are
+        # built-in expressions (no Python, no joins)
+        "sft_examples (build)": (
+            lambda spark: __import__(
+                "fluent_server_spark.queries.sketch_oracles",
+                fromlist=["q_sft_examples"],
+            ).q_sft_examples(spark, SF),
+            ["Window", "ObjectHashAggregate|HashAggregate",
+             "Exchange hashpartitioning"],
+            ["Join", "CartesianProduct", "Python",
+             "Exchange rangepartitioning"],
+        ),
+        # r5 BPE training, corpus-scale half: pre-tokenize explode
+        # (Generate) + ONE map-side-combined word-count agg — the only
+        # pass over the raw text; the merge loop then runs on this
+        # table's bounded cap, never the corpus
+        "bpe_word_counts": (
+            lambda spark: __import__(
+                "fluent_server_spark.operators.bpe",
+                fromlist=["bpe_word_counts"],
+            ).bpe_word_counts(docs(spark)),
+            ["Generate", "HashAggregate", "Exchange hashpartitioning"],
+            ["Join", "CartesianProduct", "Python"],
+        ),
+        # r5 BPE application: Arrow pandas UDF (ArrowEvalPython, never
+        # row-at-a-time) over the scan — map-only, zero exchanges, the
+        # merge ranks ride the closure
+        "bpe_tokenize": (
+            lambda spark: (lambda bpe: bpe.bpe_tokenize(
+                docs(spark), bpe.bpe_train(docs(spark).limit(50), 16)
+            ))(__import__(
+                "fluent_server_spark.operators.bpe", fromlist=["bpe_tokenize"]
+            )),
+            ["ArrowEvalPython"],
+            ["Exchange", "Join", "CartesianProduct"],
+        ),
         # Z-order write layout: ONE range exchange on the Morton code +
         # in-partition sort; the min/max bounds agg is a separate bounded
         # one-row collect, so the layout plan itself is exchange+sort only
