@@ -88,6 +88,120 @@ def unigram_nll_scores(
     return docs.select(id_col).join(per_doc, id_col, "left")
 
 
+def train_bigram(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(w1, w2, n): the bigram model — like the unigram, a plain
+    aggregate table (one shuffle on the pair key). Pairs come from a
+    lead() window over the positioned word stream: the window partitions
+    on the doc id, the same key the scorer's final aggregation uses."""
+    return (
+        _word_pairs(docs, id_col, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _word_pairs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = (
+        docs.select(
+            id_col,
+            F.posexplode(
+                F.filter(
+                    F.split(
+                        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                        r"\s+",
+                    ),
+                    lambda x: x != "",
+                )
+            ).alias("pos", "w1"),
+        )
+    )
+    nxt = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        w.withColumn("w2", F.lead("w1").over(nxt))
+        .filter(F.col("w2").isNotNull())
+        .select(id_col, "w1", "w2")
+    )
+
+
+def bigram_nll_scores(
+    docs: DataFrame,
+    bigram_model: DataFrame | None = None,
+    unigram_model: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+    k: float = 1.0,
+) -> DataFrame:
+    """(id, n_bigrams, avg_nll): per-doc average NLL under the
+    interpolated bigram model — the next step up the CCNet ladder from
+    the unigram filter (a KenLM-style n-gram model with interpolation
+    smoothing, Jelinek–Mercer form):
+
+        p(w2|w1) = lam * (c(w1,w2)+k)/(c(w1)+k*(V+1))
+                 + (1-lam) * (c(w2)+k)/(N+k*(V+1))
+
+    Same model-is-a-table contract as the unigram scorer: two keyed
+    LEFT joins (pair counts on (w1,w2); unigram counts on w1 and w2)
+    plus the one-row totals broadcast, then one aggregation back to the
+    doc id. Docs with fewer than two words score NULL. Convention
+    pinned against a pure-Python reference in tests/test_lm_quality.py
+    and replayed exactly by the pre-staged DuckDB oracle."""
+    if unigram_model is None:
+        unigram_model = train_unigram(docs, id_col, text_col)
+    if bigram_model is None:
+        bigram_model = train_bigram(docs, id_col, text_col)
+    totals = unigram_model.agg(
+        F.sum("n").alias("_N"), F.count(F.lit(1)).alias("_V")
+    )
+    pairs = _word_pairs(docs, id_col, text_col)
+    kf = F.lit(float(k))
+    scored = (
+        pairs.join(
+            bigram_model.select("w1", "w2", F.col("n").alias("_n12")),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            unigram_model.select(F.col("w").alias("w1"), F.col("n").alias("_n1")),
+            "w1",
+            "left",
+        )
+        .join(
+            unigram_model.select(F.col("w").alias("w2"), F.col("n").alias("_n2")),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            (
+                -F.log(
+                    F.lit(float(lam))
+                    * (F.coalesce(F.col("_n12"), F.lit(0)) + kf)
+                    / (
+                        F.coalesce(F.col("_n1"), F.lit(0))
+                        + kf * (F.col("_V") + 1)
+                    )
+                    + F.lit(1.0 - float(lam))
+                    * (F.coalesce(F.col("_n2"), F.lit(0)) + kf)
+                    / (F.col("_N") + kf * (F.col("_V") + 1))
+                )
+            ).alias("nll"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+    )
+    return docs.select(id_col).join(per_doc, id_col, "left")
+
+
 def perplexity_band_filter(
     docs: DataFrame,
     lo_quantile: float = 0.1,
@@ -95,13 +209,17 @@ def perplexity_band_filter(
     id_col: str = "doc_id",
     text_col: str = "text",
     model: DataFrame | None = None,
+    scores: DataFrame | None = None,
 ) -> DataFrame:
     """Keep the middle perplexity band (CCNet's head/middle split
     generalized): drop the lowest-NLL tail (degenerate/boilerplate) and
     the highest-NLL tail (gibberish). Band edges come from approximate
     quantiles of the score table (bounded driver values); wordless docs
-    are dropped with the gibberish tail."""
-    scores = unigram_nll_scores(docs, model, id_col, text_col)
+    are dropped with the gibberish tail. Pass `scores` (any table with
+    (id, avg_nll), e.g. from bigram_nll_scores) to band-filter on a
+    different scorer; default is the self-trained unigram."""
+    if scores is None:
+        scores = unigram_nll_scores(docs, model, id_col, text_col)
     qs = scores.filter(F.col("avg_nll").isNotNull()).approxQuantile(
         "avg_nll", [lo_quantile, hi_quantile], 0.001
     )

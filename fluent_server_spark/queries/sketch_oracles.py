@@ -435,3 +435,60 @@ FROM o GROUP BY user_id, example_idx
 
 
 SKETCH_QUERIES["sft_examples"] = QuerySpec(q_sft_examples, SQL_SFT_EXAMPLES)
+
+# ------------------------------------------ interpolated bigram LM (r5)
+
+BIGRAM_LAM = 0.7
+BIGRAM_K = 1.0
+
+
+def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/lm_quality.bigram_nll_scores self-trained on the
+    documents table — the Jelinek–Mercer interpolated bigram NLL. Both
+    count tables and every join replay in SQL; the float expression is
+    written identically on both sides, so the rounded scores match."""
+    from fluent_server_spark.operators.lm_quality import bigram_nll_scores
+    from fluent_server_spark.queries import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return bigram_nll_scores(docs, lam=BIGRAM_LAM, k=BIGRAM_K)
+
+
+SQL_BIGRAM_NLL = f"""
+WITH ws_tbl AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))),
+                                           '\\s+'), w -> w <> '') AS ws
+  FROM documents),
+ucnt AS (
+  SELECT w, count(*) AS n
+  FROM (SELECT unnest(ws) AS w FROM ws_tbl) GROUP BY w),
+tot AS (
+  SELECT (SELECT sum(n) FROM ucnt) AS N_tot,
+         (SELECT count(*) FROM ucnt) AS V),
+pairs AS (
+  SELECT doc_id,
+         unnest(ws[1:len(ws) - 1]) AS w1,
+         unnest(ws[2:len(ws)]) AS w2
+  FROM ws_tbl WHERE len(ws) >= 2),
+bcnt AS (SELECT w1, w2, count(*) AS n12 FROM pairs GROUP BY w1, w2),
+scored AS (
+  SELECT p.doc_id,
+         -ln({BIGRAM_LAM} * (coalesce(b.n12, 0) + {BIGRAM_K})
+               / (coalesce(u1.n, 0) + {BIGRAM_K} * (V + 1))
+             + {1.0 - BIGRAM_LAM} * (coalesce(u2.n, 0) + {BIGRAM_K})
+               / (N_tot + {BIGRAM_K} * (V + 1))) AS nll
+  FROM pairs p
+  LEFT JOIN bcnt b ON p.w1 = b.w1 AND p.w2 = b.w2
+  LEFT JOIN ucnt u1 ON p.w1 = u1.w
+  LEFT JOIN ucnt u2 ON p.w2 = u2.w, tot),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(avg(nll), 6) AS avg_nll
+  FROM scored GROUP BY doc_id)
+SELECT d.doc_id, per.n_bigrams, per.avg_nll
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+SKETCH_QUERIES["bigram_nll"] = QuerySpec(q_bigram_nll, SQL_BIGRAM_NLL)

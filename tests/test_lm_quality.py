@@ -109,3 +109,122 @@ def test_band_filter_all_wordless_corpus_returns_empty(spark):
     out = perplexity_band_filter(sdf)
     assert out.count() == 0
     assert out.columns == sdf.columns
+
+
+# ------------------------------------------------ interpolated bigram LM
+
+
+def _py_bigram_scores(
+    docs: dict[int, str], lam: float = 0.7, k: float = 1.0
+) -> dict[int, float | None]:
+    def words(t: str) -> list[str]:
+        return [w for w in re.split(r"\s+", t.strip().lower()) if w]
+
+    uni: dict[str, int] = {}
+    big: dict[tuple[str, str], int] = {}
+    for t in docs.values():
+        ws = words(t)
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    n_total, vocab = sum(uni.values()), len(uni)
+    out: dict[int, float | None] = {}
+    for did, t in docs.items():
+        ws = words(t)
+        if len(ws) < 2:
+            out[did] = None
+            continue
+        nll = []
+        for a, b in zip(ws, ws[1:]):
+            p_big = (big.get((a, b), 0) + k) / (uni.get(a, 0) + k * (vocab + 1))
+            p_uni = (uni.get(b, 0) + k) / (n_total + k * (vocab + 1))
+            nll.append(-math.log(lam * p_big + (1 - lam) * p_uni))
+        out[did] = round(sum(nll) / len(nll), 6)
+    return out
+
+
+def test_bigram_scores_match_python_reference(spark, corpus):
+    from fluent_server_spark.operators.lm_quality import bigram_nll_scores
+
+    docs = dict(corpus)
+    docs[11] = "one"  # single word: no bigram -> NULL
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["avg_nll"] for r in bigram_nll_scores(sdf).collect()
+    }
+    want = _py_bigram_scores(docs)
+    assert set(got) == set(want)
+    for did, v in want.items():
+        if v is None:
+            assert got[did] is None, did
+        else:
+            assert got[did] == pytest.approx(v, abs=1e-6), did
+
+
+def test_bigram_model_separates_scrambled_text(spark, corpus):
+    """Word-order damage is invisible to the unigram model but must
+    raise the bigram NLL: a doc with the same words shuffled scores
+    worse than its in-order twin."""
+    from fluent_server_spark.operators.lm_quality import bigram_nll_scores
+
+    docs = dict(corpus)
+    docs[20] = "the quick brown fox jumps over the lazy dog"
+    docs[21] = "dog the over quick lazy fox jumps brown the"
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["avg_nll"] for r in bigram_nll_scores(sdf).collect()
+    }
+    assert got[21] > got[20]
+
+
+def test_band_filter_accepts_external_scores(spark, corpus):
+    """The band filter must band on a caller-provided score table (the
+    bigram scorer) instead of self-training the unigram."""
+    from fluent_server_spark.operators.lm_quality import (
+        bigram_nll_scores,
+        perplexity_band_filter,
+    )
+
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in corpus.items()], "doc_id long, text string"
+    )
+    scores = bigram_nll_scores(sdf)
+    kept = {
+        r["doc_id"]
+        for r in perplexity_band_filter(sdf, 0.15, 0.85, scores=scores)
+        .select("doc_id")
+        .collect()
+    }
+    assert 9 not in kept  # gibberish tail (highest bigram NLL)
+    assert 10 not in kept  # wordless: no bigrams -> NULL -> dropped
+    # both tails trimmed: the band is a strict subset of the scorable docs
+    assert kept and len(kept) < 10 and kept <= set(range(0, 9))
+
+
+def test_pretrained_bigram_reuse(spark, corpus):
+    from fluent_server_spark.operators.lm_quality import (
+        bigram_nll_scores,
+        train_bigram,
+        train_unigram,
+    )
+
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in corpus.items()], "doc_id long, text string"
+    )
+    big, uni = train_bigram(sdf), train_unigram(sdf)
+    increment = sdf.filter("doc_id < 3")
+    a = {
+        r["doc_id"]: r["avg_nll"]
+        for r in bigram_nll_scores(increment, big, uni).collect()
+    }
+    b = {
+        r["doc_id"]: r["avg_nll"]
+        for r in bigram_nll_scores(sdf, big, uni).collect()
+        if r["doc_id"] < 3
+    }
+    assert a == b
