@@ -452,18 +452,19 @@ def _extra_plans():
              "Exchange rangepartitioning"],
         ),
         # r5 interpolated bigram LM: model-is-a-table contract — pair
-        # stream from a lead() window on the doc key, keyed LEFT joins
-        # against the two count tables, one-row totals broadcast, one
-        # agg back to docs; no Python, no cartesian beyond the bounded
-        # one-row broadcast
+        # stream built NARROWLY (zip_with over adjacent slices, no
+        # window: the lead()-window shape cost a doc-key exchange+sort,
+        # measured 1.36x slower), keyed LEFT joins against the two
+        # count tables, one-row totals broadcast, one agg back to docs;
+        # no Python, no cartesian beyond the bounded one-row broadcast
         "bigram_nll (train+score)": (
             lambda spark: __import__(
                 "fluent_server_spark.queries.sketch_oracles",
                 fromlist=["q_bigram_nll"],
             ).q_bigram_nll(spark, SF),
-            ["Window", "Generate", "HashAggregate",
+            ["Generate", "HashAggregate",
              "BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin"],
-            ["CartesianProduct", "Python"],
+            ["CartesianProduct", "Python", "Window"],
         ),
         # r5 BPE training, corpus-scale half: pre-tokenize explode
         # (Generate) + ONE map-side-combined word-count agg — the only
