@@ -220,11 +220,14 @@ def bpe_tokenize(
     merges: DataFrame | dict[tuple[str, str], int],
     id_col: str = "doc_id",
     text_col: str = "text",
+    extra_cols: Iterable[str] = (),
 ) -> DataFrame:
-    """(id, tokens, n_tokens): corpus tokenized under the learned
-    merges. Arrow pandas UDF (never per-row Python), map-only; the rank
-    dict rides the closure (size = num_merges). The per-batch word
-    cache exploits Zipf — most occurrences hit it."""
+    """(id, *extra_cols, tokens, n_tokens): corpus tokenized under the
+    learned merges. Arrow pandas UDF (never per-row Python), map-only;
+    the rank dict rides the closure (size = num_merges). The per-batch
+    word cache exploits Zipf — most occurrences hit it. `extra_cols`
+    ride through untouched (token-budget SFT packing needs the turn's
+    role/order keys next to its tokens)."""
     ranks = merges if isinstance(merges, dict) else merge_ranks(merges)
 
     @F.pandas_udf(ArrayType(StringType()))
@@ -244,6 +247,7 @@ def bpe_tokenize(
 
     return docs.select(
         id_col,
+        *extra_cols,
         _tok(F.col(text_col)).alias("tokens"),
     ).withColumn("n_tokens", F.size("tokens"))
 
