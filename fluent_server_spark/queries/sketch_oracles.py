@@ -492,3 +492,60 @@ FROM documents d LEFT JOIN per USING (doc_id)
 
 
 SKETCH_QUERIES["bigram_nll"] = QuerySpec(q_bigram_nll, SQL_BIGRAM_NLL)
+
+
+# ------------------------------------------- retrieval quality metrics
+
+def q_lsh_recall_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k / MRR@k of the LSH top-k against the exact
+    brute-force baseline — the sweep-closure evaluator
+    (operators/retrieval_eval.py) run at the driver operating point.
+    Both ranking inputs are the registered driver queries themselves,
+    so the oracle replays their SQL verbatim and layers the metric
+    join + window on top."""
+    from fluent_server_spark.operators.retrieval_eval import ranking_quality
+    from fluent_server_spark.queries.vectors import (
+        TOPK_K,
+        q_ann_topk_bruteforce,
+        q_ann_topk_lsh,
+    )
+
+    return ranking_quality(
+        q_ann_topk_lsh(spark, sf_dir),
+        q_ann_topk_bruteforce(spark, sf_dir),
+        TOPK_K,
+    )
+
+
+def _sql_lsh_recall_mrr() -> str:
+    from fluent_server_spark.queries.vectors import (
+        SQL_ANN_TOPK_BRUTEFORCE,
+        SQL_ANN_TOPK_LSH,
+        TOPK_K,
+    )
+
+    # both inputs arrive rank-cut at k with the same (cos DESC, id)
+    # tie rule, so the metric layer is one left join + one group-by
+    return f"""
+WITH lsh AS (SELECT * FROM ({SQL_ANN_TOPK_LSH})),
+bf AS (SELECT * FROM ({SQL_ANN_TOPK_BRUTEFORCE})),
+met AS (
+  SELECT t.query_id,
+         CAST(count(*) AS INTEGER) AS n_relevant,
+         count(r.rk) AS n_hits,
+         min(r.rk) AS first_hit
+  FROM bf t LEFT JOIN lsh r
+    ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+  GROUP BY t.query_id)
+SELECT query_id, n_relevant, n_hits,
+       CAST(n_hits AS DOUBLE) / n_relevant AS recall_at_k,
+       coalesce(CAST(1 AS DOUBLE) / first_hit, CAST(0 AS DOUBLE))
+         AS reciprocal_rank,
+       CAST({TOPK_K} AS INTEGER) AS k
+FROM met
+"""
+
+
+SKETCH_QUERIES["lsh_recall_mrr"] = QuerySpec(
+    q_lsh_recall_mrr, _sql_lsh_recall_mrr()
+)

@@ -84,7 +84,7 @@ def test_unmerged_toggle_appends_split_views(spark):
     names = list(full)
     assert names[:50] == base
     splits = names[50:]
-    assert len(splits) == 22  # 13 un-merge views + 9 pre-staged pairs (sketches, NB, hybrid RRF, DSIR, SFT, bigram LM)
+    assert len(splits) == 23  # 13 un-merge views + 10 pre-staged pairs (sketches, NB, hybrid RRF, DSIR, SFT, bigram LM, LSH recall/MRR)
 
     import sys
 
