@@ -500,6 +500,55 @@ def _extra_plans():
             ["Exchange rangepartitioning", "Sort"],
             ["Join", "CartesianProduct", "Python", "Exchange hashpartitioning"],
         ),
+        # r5 token-budget SFT packing: the char-variant plan plus ONE
+        # map-only Arrow tokenize stage (ArrowEvalPython, never
+        # row-at-a-time BatchEvalPython) — windows and the final agg
+        # still share the single hash(conv_id) exchange; no joins
+        "sft_examples_tokens (build)": (
+            lambda spark: (lambda sft, bpe: sft.build_sft_examples_tokens(
+                load_table(spark, SF, "events").select(
+                    F.col("user_id").alias("conv_id"),
+                    F.col("event_id").alias("turn_idx"),
+                    F.col("event_type").alias("role"),
+                    F.coalesce("props", F.lit("")).alias("text"),
+                ),
+                bpe.bpe_train(docs(spark).limit(50), 16),
+                512,
+            ))(
+                __import__("fluent_server_spark.operators.sft",
+                           fromlist=["build_sft_examples_tokens"]),
+                __import__("fluent_server_spark.operators.bpe",
+                           fromlist=["bpe_train"]),
+            ),
+            ["ArrowEvalPython", "Window",
+             "ObjectHashAggregate|HashAggregate", "Exchange hashpartitioning"],
+            ["Join", "CartesianProduct", "BatchEvalPython",
+             "Exchange rangepartitioning"],
+        ),
+        # r5 retrieval metrics: one row_number window per side (the two
+        # hash exchanges), truth collapsed to a per-query set array so
+        # the sides meet on the query key alone — no (query, doc)
+        # co-partition shuffle, no cartesian, no Python anywhere
+        "ranking_quality (metrics layer)": (
+            lambda spark: (lambda re_: re_.ranking_quality_summary(
+                load_table(spark, SF, "events").select(
+                    F.col("user_id").alias("query_id"),
+                    F.col("event_type").alias("neighbor_id"),
+                    F.col("value").cast("double").alias("cos"),
+                ),
+                load_table(spark, SF, "events").select(
+                    F.col("user_id").alias("query_id"),
+                    F.col("event_id").cast("string").alias("neighbor_id"),
+                    F.col("value").cast("double").alias("cos"),
+                ),
+                5,
+            ))(__import__("fluent_server_spark.operators.retrieval_eval",
+                          fromlist=["ranking_quality_summary"])),
+            ["Window", "HashAggregate|ObjectHashAggregate",
+             "Exchange hashpartitioning"],
+            ["CartesianProduct", "Python", "Exchange rangepartitioning",
+             "BroadcastNestedLoopJoin"],
+        ),
     }
 
 
