@@ -406,6 +406,103 @@ def _run_curate(args) -> int:
     return 0
 
 
+def _run_curate_stream(args) -> int:
+    """One-command STREAMING curation — the --curate chain's dedup +
+    quality-band stages applied per ingest epoch as parquet files land
+    (streaming/curate_stream.py). The reference corpus supplies both
+    frozen artifacts up front: the persisted minhash index (reused if
+    already on disk, else built once here) and the frozen unigram model
+    + NLL band edges — so every epoch is bounded work against artifacts
+    at rest, never a corpus re-scan. Drain semantics: process every
+    currently-available file, stop, and print the per-stage manifest
+    (the streaming analogue of the batch curate manifest). Usage:
+
+        python -m fluent_server_spark --curate-stream OUT_DIR \
+            --input 'INCOMING_DIR/*' --curate-corpus CORPUS.parquet \
+            [--dedup-index IDX] [--dedup-threshold 0.2] \
+            [--checkpoint CKPT]
+
+    Re-running with the same checkpoint is exactly-once: already-
+    processed files are skipped, replayed epochs overwrite their own
+    directories, and new files extend the output by whole epochs.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fluent_server_spark.operators.dedup import write_minhash_index
+    from fluent_server_spark.streaming.curate_stream import (
+        freeze_curate_model,
+        read_curate_stats,
+        read_curated,
+        stream_curate,
+    )
+
+    out_dir = args.curate_stream
+    spark = get_spark("fss-curate-stream", cpus=args.cpus)
+    corpus = spark.read.parquet(args.curate_corpus)
+    idx = args.dedup_index or f"{out_dir}/index"
+    if not os.path.exists(os.path.join(idx, "index.json")):
+        write_minhash_index(corpus, idx)
+    model, lo, hi = freeze_curate_model(corpus)
+
+    q = stream_curate(
+        spark,
+        args.input,
+        idx,
+        model,
+        lo,
+        hi,
+        f"{out_dir}/curated",
+        args.checkpoint or f"{out_dir}/ckpt",
+        threshold=args.dedup_threshold,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    try:
+        stats = read_curate_stats(spark, f"{out_dir}/curated")
+        agg = stats.agg(
+            F.count(F.lit(1)).alias("epochs"),
+            *[
+                F.sum(c).alias(c)
+                for c in stats.columns
+                if c != "epoch"
+            ],
+        ).collect()[0]
+        manifest = {
+            "epochs": int(agg["epochs"]),
+            "stages": {
+                k: int(agg[k]) for k in agg.asDict() if k != "epochs"
+            },
+            "survivors": read_curated(spark, f"{out_dir}/curated").count(),
+        }
+    except Exception:
+        manifest = {"epochs": 0, "stages": {}, "survivors": 0}
+    if args.fold_on_drain:
+        # LSM compaction while the stream is stopped (drained above):
+        # accepted docs' signatures fold into the persisted index, the
+        # md5 ledger truncates (the index fully subsumes it)
+        from fluent_server_spark.streaming.curate_stream import (
+            fold_ledger_into_index,
+        )
+
+        manifest["fold"] = fold_ledger_into_index(
+            spark, f"{out_dir}/curated", idx
+        )
+    manifest["params"] = {
+        "index": idx,
+        "band": [lo, hi],
+        "dedup_threshold": args.dedup_threshold,
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    print(json.dumps({"curate_stream": manifest}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="fluent_server_spark")
     ap.add_argument("--source", default="parquet", help="parquet|csv|json|iceberg|synthetic")
@@ -460,8 +557,25 @@ def main(argv: list[str] | None = None) -> int:
                     help="DSIR: keep this many docs most like the target slice")
     ap.add_argument("--curate-target-lang", default="en",
                     help="DSIR target slice: docs with this lang value")
+    ap.add_argument("--curate-stream", metavar="OUT_DIR", default=None,
+                    help="STREAMING curation: watch --input (parquet file "
+                         "glob) and run dedup-vs-index + cross-epoch ledger "
+                         "+ frozen quality band per epoch; drains available "
+                         "files then exits (exactly-once on re-run)")
+    ap.add_argument("--curate-corpus", default=None, metavar="PARQUET",
+                    help="curate-stream: reference corpus for the frozen "
+                         "model/band (and the minhash index when "
+                         "--dedup-index is absent)")
+    ap.add_argument("--fold-on-drain", action="store_true",
+                    help="curate-stream: after draining, fold accepted "
+                         "docs' signatures into the persisted index and "
+                         "truncate the exact-dedup ledger (LSM compaction)")
     args = ap.parse_args(argv)
 
+    if args.curate_stream:
+        if not args.input or not args.curate_corpus:
+            ap.error("--curate-stream requires --input and --curate-corpus")
+        return _run_curate_stream(args)
     if args.curate:
         if not args.input:
             ap.error("--curate requires --input")

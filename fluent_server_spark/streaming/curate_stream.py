@@ -196,6 +196,122 @@ def stream_curate(
     )
 
 
+def fold_ledger_into_index(
+    spark: SparkSession,
+    output_dir: str,
+    corpus_index: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """LSM-style compaction for the curate stream's exact-dedup ledger —
+    the maintenance job the module docstring commits to. Run it with the
+    stream STOPPED after a drained epoch (the CLI's --fold-on-drain does
+    exactly that); it
+
+    1. appends the minhash signatures (band rows + shingle arrays) of
+       every not-yet-folded accepted doc into the persisted corpus index
+       at `corpus_index`, using the parameters from the index's own
+       manifest, and
+    2. truncates `{output_dir}/hashes/epoch=*` to one EMPTY
+       `epoch=<max_folded>` dir (kept so later epochs' `epoch < N`
+       ledger glob stays readable).
+
+    The index FULLY subsumes the folded ledger: `with_shingles` emits at
+    least one (possibly partial) word n-gram for every non-NULL text —
+    `sequence(0, greatest(size-n, 0))` pads short docs with the
+    whole-text gram — so an exact duplicate of any folded survivor has a
+    byte-identical shingle set, hence an identical signature, the same
+    bucket in every band, and verify jaccard 1.0 >= any threshold <= 1:
+    stage 3 rejects it. (NULL-text docs have no fingerprint either — md5
+    of NULL is NULL, which the ledger anti-join never matched — and the
+    quality band drops them before they can be accepted, so nothing is
+    lost by the truncation.)
+
+    The fold deliberately WIDENS dedup semantics for later epochs: a
+    non-identical near-dup (jaccard >= threshold) of a folded accepted
+    doc is now rejected at stage 3, where pre-fold the stream only
+    near-dup-checked against the frozen corpus. That closes the known
+    accepted-vs-accepted near-dup gap rather than opening one.
+
+    Fold progress is recorded in `{output_dir}/hashes/_folded.json`
+    (`folded_below`: exclusive epoch bound) so re-running is a no-op
+    until new epochs land. A crash between the index append and the
+    marker update can leave duplicate signature rows in the index on
+    re-run — harmless for curation (the candidate join is followed by
+    DISTINCT, so duplicates only add redundant verify rows, never wrong
+    answers), and the standard fix is an index rebuild, exactly as for
+    any LSM compaction torn mid-merge.
+
+    Returns {"folded_docs", "folded_below"}.
+    """
+    import glob as _glob
+    import json
+    import os
+    import shutil
+
+    from fluent_server_spark.operators.dedup import (
+        _band_table,
+        _minhash_sig,
+        read_minhash_index,
+    )
+
+    marker = os.path.join(output_dir, "hashes", "_folded.json")
+    folded_below = 0
+    if os.path.exists(marker):
+        with open(marker) as f:
+            folded_below = json.load(f)["folded_below"]
+
+    epoch_dirs = sorted(
+        int(d.rsplit("=", 1)[1])
+        for d in _glob.glob(os.path.join(output_dir, "docs", "epoch=*"))
+    )
+    todo = [e for e in epoch_dirs if e >= folded_below]
+    if not todo:
+        return {"folded_docs": 0, "folded_below": folded_below}
+    max_epoch = max(todo)
+
+    _, _, manifest = read_minhash_index(spark, corpus_index)
+    if manifest["id_col"] != id_col:
+        raise ValueError(
+            f"index id_col {manifest['id_col']!r} != fold id_col {id_col!r}"
+        )
+
+    docs = (
+        spark.read.option("basePath", f"{output_dir}/docs")
+        .parquet(f"{output_dir}/docs/epoch=*")
+    )
+    fresh = docs.filter(
+        (F.col("epoch") >= folded_below) & (F.col("epoch") <= max_epoch)
+    ).drop("epoch")
+    sig = _minhash_sig(
+        fresh, id_col, text_col, manifest["n"], manifest["n_perm"],
+        manifest["seed"],
+    )
+    shingled = sig.filter(F.size("hg") > 0)
+    _band_table(
+        shingled, id_col, manifest["n_perm"], manifest["n_bands"]
+    ).write.mode("append").partitionBy("band").parquet(f"{corpus_index}/bands")
+    shingled.select(id_col, "hg").write.mode("append").parquet(
+        f"{corpus_index}/shingles"
+    )
+    folded = sig.count()
+    sig.unpersist()  # _minhash_sig localCheckpoints; release the blocks
+
+    # truncate the ledger: an empty epoch=<max> dir keeps the
+    # `hashes/epoch=*` glob readable for later epochs' `epoch < N` read
+    tmp = os.path.join(output_dir, "hashes", "_truncate_tmp")
+    spark.createDataFrame([], "fp string").write.mode("overwrite").parquet(tmp)
+    for d in _glob.glob(os.path.join(output_dir, "hashes", "epoch=*")):
+        shutil.rmtree(d)
+    os.rename(tmp, os.path.join(output_dir, "hashes", f"epoch={max_epoch}"))
+    with open(marker, "w") as f:
+        json.dump({"folded_below": max_epoch + 1}, f)
+    return {
+        "folded_docs": int(folded),
+        "folded_below": max_epoch + 1,
+    }
+
+
 def read_curated(spark: SparkSession, output_dir: str) -> DataFrame:
     """All curated docs across epochs (epoch dirs self-overwrite, so
     the union is exactly-once)."""

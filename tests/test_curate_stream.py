@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from fluent_server_spark.operators.dedup import write_minhash_index
 from fluent_server_spark.streaming.curate_stream import (
     curate_batch,
+    fold_ledger_into_index,
     freeze_curate_model,
     read_curate_stats,
     read_curated,
@@ -173,3 +174,90 @@ def test_restart_is_idempotent(spark, curated):
     )
     assert after == before == [101, 201]
     assert read_curate_stats(spark, curated["out"]).count() == 2
+
+
+def test_fold_ledger_into_index(spark, tmp_path):
+    """LSM compaction: folding accepted docs into the persisted index
+    preserves every dedup decision — exact dups of folded docs move from
+    the ledger stage to the index stage (every non-NULL text yields >= 1
+    shingle, even below n words, because with_shingles pads short docs
+    with the whole-text gram — so identical text => jaccard 1.0 => the
+    index catches it), the ledger truncates to an empty dir, and
+    re-folding with nothing new is a no-op."""
+    import json
+
+    # corpus: one degenerate all-'the' doc (band floor) + varied docs
+    # with rare singletons (band ceiling) -> [min,max] band is wide
+    texts = [" ".join(["the"] * 30)] + [
+        " ".join([f"w{(i + j) % 25}" for j in range(20)] + ["the"] * 5
+                 + [f"rare{i}"])
+        for i in range(6)
+    ]
+    corpus = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    idx = str(tmp_path / "idx")
+    write_minhash_index(corpus, idx)
+    model, lo, hi = freeze_curate_model(corpus, 0.0, 1.0)
+
+    long_doc = _shuffled_multiset(texts[3], seed=7)  # in-band, full 3-grams
+    short_doc = "the the"    # in-band; < n words -> ONE padded whole-text gram
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame(
+        [(10, long_doc), (11, short_doc)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = stream_curate(
+            spark, f"{src}/*", idx, model, lo, hi, out, ckpt,
+            max_files_per_trigger=1,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    drain()
+    assert sorted(
+        r["doc_id"] for r in read_curated(spark, out).collect()
+    ) == [10, 11]
+
+    fold = fold_ledger_into_index(spark, out, idx)
+    assert fold == {"folded_docs": 2, "folded_below": 1}
+    # ledger truncated to ONE empty dir (keeps the epoch=* glob alive)
+    ledger = spark.read.option("basePath", f"{out}/hashes").parquet(
+        f"{out}/hashes/epoch=*"
+    )
+    assert ledger.count() == 0
+    marker = json.loads((tmp_path / "out" / "hashes" / "_folded.json").read_text())
+    assert marker == {"folded_below": 1}
+
+    # epoch 1: exact dups of BOTH folded docs (long and short) are now
+    # caught by the index at the neardup stage — identical text means
+    # identical shingle set, jaccard 1.0; a fresh permutation survives
+    spark.createDataFrame(
+        [(20, long_doc), (21, short_doc),
+         (22, _shuffled_multiset(texts[5], seed=9))],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    drain()
+    assert sorted(
+        r["doc_id"] for r in read_curated(spark, out).collect()
+    ) == [10, 11, 22]
+    stats = {
+        r["epoch"]: r.asDict()
+        for r in read_curate_stats(spark, out).collect()
+    }
+    assert stats[1]["input"] == 3
+    assert stats[1]["exact_dedup"] == 3        # empty ledger: nothing caught
+    assert stats[1]["neardup_vs_corpus"] == 1  # 20 AND 21 via folded index
+    assert stats[1]["quality_band"] == 1
+
+    # second fold picks up only epoch 1; third fold is a no-op
+    fold2 = fold_ledger_into_index(spark, out, idx)
+    assert fold2 == {"folded_docs": 1, "folded_below": 2}
+    fold3 = fold_ledger_into_index(spark, out, idx)
+    assert fold3["folded_docs"] == 0 and fold3["folded_below"] == 2

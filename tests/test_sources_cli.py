@@ -122,3 +122,93 @@ def test_cli_curate_end_to_end(spark, tmp_path, capsys):
         for r in spark.read.parquet(f"{out2}/documents").select("doc_id").collect()
     )
     assert ids1 == ids2
+
+
+def test_cli_curate_stream_end_to_end(spark, tmp_path, capsys):
+    """--curate-stream drains available files through the streaming
+    curate chain (index built from the corpus, frozen band), prints the
+    summed per-stage manifest, is exactly-once on re-run, and extends
+    by one epoch when a new file lands."""
+    # every corpus doc is a distinct permutation of ONE word multiset:
+    # identical unigram NLL (the 0.1/0.9 band is a single point every
+    # clone hits) but disjoint 3-gram shingles (no near-dup flags)
+    import random
+
+    base = [f"w{j}" for j in range(20)] + ["the"] * 3
+
+    def perm(seed):
+        ws = list(base)
+        random.Random(seed).shuffle(ws)
+        return " ".join(ws)
+
+    corpus_rows = [(i, perm(i)) for i in range(15)]
+    corpus_pq = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(
+        corpus_rows, "doc_id long, text string"
+    ).write.parquet(corpus_pq)
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    fresh = perm(500)
+    spark.createDataFrame(
+        [(500, fresh),
+         (501, " ".join(f"zzz{j}" for j in range(20)))],  # gibberish: banded out
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    out_dir = str(tmp_path / "cs")
+    argv = [
+        "--curate-stream", out_dir,
+        "--input", f"{src}/*",
+        "--curate-corpus", corpus_pq,
+    ]
+    assert cli_main(argv) == 0
+    man = json.loads(capsys.readouterr().out.strip().splitlines()[-1])[
+        "curate_stream"
+    ]
+    assert man["epochs"] == 1
+    assert man["stages"]["input"] == 2
+    assert man["survivors"] == 1  # 501 banded out, 500 kept
+    disk = json.loads((tmp_path / "cs" / "manifest.json").read_text())
+    assert disk == man
+
+    # re-run with nothing new: exactly-once, unchanged
+    assert cli_main(argv) == 0
+    man2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])[
+        "curate_stream"
+    ]
+    assert man2["epochs"] == 1 and man2["survivors"] == 1
+
+    # a new file with an exact dup of the accepted doc: ledger drops it
+    spark.createDataFrame(
+        [(600, fresh)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    assert cli_main(argv) == 0
+    man3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])[
+        "curate_stream"
+    ]
+    assert man3["epochs"] == 2
+    assert man3["stages"]["input"] == 3
+    assert man3["survivors"] == 1  # 600 caught by the cross-epoch ledger
+
+    # --fold-on-drain: LSM-compact the ledger into the index, then land
+    # one more dup — now dropped by the INDEX (neardup stage), not the
+    # (truncated) ledger, and the survivor set is unchanged
+    assert cli_main(argv + ["--fold-on-drain"]) == 0
+    man4 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])[
+        "curate_stream"
+    ]
+    assert man4["fold"] == {"folded_docs": 1, "folded_below": 2}
+    spark.createDataFrame(
+        [(700, fresh)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b3"))
+    assert cli_main(argv) == 0
+    man5 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])[
+        "curate_stream"
+    ]
+    assert man5["epochs"] == 3
+    # summed stages: 501 lost at quality (e0), 600 at the ledger (e1),
+    # 700 at the folded index's neardup stage (e2)
+    assert man5["stages"]["exact_dedup"] == man5["stages"]["input"] - 1
+    assert man5["stages"]["neardup_vs_corpus"] == man5["stages"]["exact_dedup"] - 1
+    assert man5["survivors"] == 1
