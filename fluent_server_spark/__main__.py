@@ -303,8 +303,63 @@ def _run_live_edge(args) -> int:
     out = {"stats": srv.stats, "sink_counts": counts}
     if compaction is not None:
         out["compaction"] = compaction
+    if args.curate_stream:
+        # ONE-COMMAND wire -> curated parquet: the ingest drain above
+        # sealed and landed every acked turn exactly-once; now drain the
+        # landed routed sinks through the streaming curate chain (same
+        # artifacts-at-rest semantics as --curate-stream). The curate
+        # stage keeps its OWN checkpoint under the curate out dir, so a
+        # re-run of this same command resumes BOTH stages exactly-once:
+        # the ingest sink log skips committed spool files, the curate
+        # checkpoint skips committed sink files, and new wire traffic
+        # extends both by whole epochs.
+        out["curate_stream"] = _curate_landed_sinks(spark, args)
     print(json.dumps(out), flush=True)
     return 0
+
+
+def _curate_landed_sinks(spark, args) -> dict:
+    """Curate the live edge's landed routed-turn sinks: stream the sink
+    dir (resolved through the file sink's `_spark_metadata` log, so only
+    committed files are listed), map turns -> curate candidates, and run
+    the shared curate-drain. Quarantined turns (unparseable off the
+    wire) are excluded from curation — they are routed for triage, not
+    training. The curate id is `xxhash64(conv_id, turn_idx)` so folded
+    signatures stay type-compatible with a documents-built corpus index
+    (long ids); at extreme corpus sizes an id-collision-free deployment
+    would build the index with the composite string key instead — the
+    operators take `id_col` for exactly that."""
+    from pyspark.sql import functions as F
+
+    from fluent_server_spark.data.synth import QUARANTINE_SINK
+
+    out_dir = args.curate_stream
+    try:
+        landed_schema = spark.read.parquet(args.sinks).schema
+    except Exception:
+        return {"skipped": "no sinks landed"}
+
+    def to_docs(df):
+        # A client retrying an acked chunk (the Forward protocol's
+        # at-least-once shape) lands byte-identical rows that share the
+        # same (conv_id, turn_idx) — so the same doc_id, which the
+        # curate chain's min-id exact dedup cannot collapse (its keeper
+        # semi-join keeps every row carrying the keeper id). Collapse
+        # them by VALUE here: distinct() is deterministic, so replayed
+        # epochs still reproduce byte-identical survivors. Key
+        # collisions with DIFFERENT payloads stay distinct rows and
+        # fall through to the text-level dedup stages like any other
+        # duplicate text.
+        return (
+            df.filter(F.col("sink") != QUARANTINE_SINK)
+            .distinct()
+            .withColumn("doc_id", F.xxhash64("conv_id", "turn_idx"))
+        )
+
+    return _curate_stream_drain(
+        spark, args, out_dir, args.sinks, f"{out_dir}/ckpt",
+        schema=landed_schema, transform=to_docs,
+    )
 
 
 def _run_curate(args) -> int:
@@ -406,40 +461,28 @@ def _run_curate(args) -> int:
     return 0
 
 
-def _run_curate_stream(args) -> int:
-    """One-command STREAMING curation — the --curate chain's dedup +
-    quality-band stages applied per ingest epoch as parquet files land
-    (streaming/curate_stream.py). The reference corpus supplies both
-    frozen artifacts up front: the persisted minhash index (reused if
-    already on disk, else built once here) and the frozen unigram model
-    + NLL band edges — so every epoch is bounded work against artifacts
-    at rest, never a corpus re-scan. Drain semantics: process every
-    currently-available file, stop, and print the per-stage manifest
-    (the streaming analogue of the batch curate manifest). Usage:
-
-        python -m fluent_server_spark --curate-stream OUT_DIR \
-            --input 'INCOMING_DIR/*' --curate-corpus CORPUS.parquet \
-            [--dedup-index IDX] [--dedup-threshold 0.2] \
-            [--checkpoint CKPT]
-
-    Re-running with the same checkpoint is exactly-once: already-
-    processed files are skipped, replayed epochs overwrite their own
-    directories, and new files extend the output by whole epochs.
-    """
+def _curate_stream_drain(
+    spark, args, out_dir, source, checkpoint, schema=None, transform=None
+) -> dict:
+    """Shared tail of --curate-stream and --live-edge --curate-stream:
+    freeze the corpus artifacts (persisted minhash index + unigram
+    model/band), drain `source` through the curate chain, optionally
+    fold the ledger, and return the per-stage manifest (also written to
+    `{out_dir}/manifest.json`). `schema`/`transform` adapt a non-docs
+    source (the live edge's routed-turn sinks) to the curate input."""
     import os
 
     from pyspark.sql import functions as F
 
     from fluent_server_spark.operators.dedup import write_minhash_index
     from fluent_server_spark.streaming.curate_stream import (
+        DOCS_DDL,
         freeze_curate_model,
         read_curate_stats,
         read_curated,
         stream_curate,
     )
 
-    out_dir = args.curate_stream
-    spark = get_spark("fss-curate-stream", cpus=args.cpus)
     corpus = spark.read.parquet(args.curate_corpus)
     idx = args.dedup_index or f"{out_dir}/index"
     if not os.path.exists(os.path.join(idx, "index.json")):
@@ -448,14 +491,16 @@ def _run_curate_stream(args) -> int:
 
     q = stream_curate(
         spark,
-        args.input,
+        source,
         idx,
         model,
         lo,
         hi,
         f"{out_dir}/curated",
-        args.checkpoint or f"{out_dir}/ckpt",
+        checkpoint,
+        schema=schema if schema is not None else DOCS_DDL,
         threshold=args.dedup_threshold,
+        transform=transform,
     )
     try:
         q.processAllAvailable()
@@ -499,6 +544,35 @@ def _run_curate_stream(args) -> int:
     }
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def _run_curate_stream(args) -> int:
+    """One-command STREAMING curation — the --curate chain's dedup +
+    quality-band stages applied per ingest epoch as parquet files land
+    (streaming/curate_stream.py). The reference corpus supplies both
+    frozen artifacts up front: the persisted minhash index (reused if
+    already on disk, else built once here) and the frozen unigram model
+    + NLL band edges — so every epoch is bounded work against artifacts
+    at rest, never a corpus re-scan. Drain semantics: process every
+    currently-available file, stop, and print the per-stage manifest
+    (the streaming analogue of the batch curate manifest). Usage:
+
+        python -m fluent_server_spark --curate-stream OUT_DIR \
+            --input 'INCOMING_DIR/*' --curate-corpus CORPUS.parquet \
+            [--dedup-index IDX] [--dedup-threshold 0.2] \
+            [--checkpoint CKPT]
+
+    Re-running with the same checkpoint is exactly-once: already-
+    processed files are skipped, replayed epochs overwrite their own
+    directories, and new files extend the output by whole epochs.
+    """
+    out_dir = args.curate_stream
+    spark = get_spark("fss-curate-stream", cpus=args.cpus)
+    manifest = _curate_stream_drain(
+        spark, args, out_dir, args.input,
+        args.checkpoint or f"{out_dir}/ckpt",
+    )
     print(json.dumps({"curate_stream": manifest}))
     return 0
 
@@ -572,10 +646,20 @@ def main(argv: list[str] | None = None) -> int:
                          "truncate the exact-dedup ledger (LSM compaction)")
     args = ap.parse_args(argv)
 
-    if args.curate_stream:
+    if args.curate_stream and not args.live_edge:
         if not args.input or not args.curate_corpus:
             ap.error("--curate-stream requires --input and --curate-corpus")
         return _run_curate_stream(args)
+    if args.curate_stream and args.live_edge:
+        # one-command wire -> routed sinks -> curated parquet
+        if not args.curate_corpus:
+            ap.error("--live-edge --curate-stream requires --curate-corpus")
+        if args.snapshots or args.dedup_index:
+            ap.error(
+                "--live-edge --curate-stream needs the plain parquet sink "
+                "(not --snapshots / --dedup-index: curation already "
+                "subsumes the ingest-time duplicate diversion)"
+            )
     if args.curate:
         if not args.input:
             ap.error("--curate requires --input")

@@ -132,11 +132,12 @@ def stream_curate(
     hi: float,
     output_dir: str,
     checkpoint_dir: str,
-    schema: str = DOCS_DDL,
+    schema=DOCS_DDL,
     threshold: float = 0.2,
     max_files_per_trigger: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    transform=None,
 ):
     """Start the curate stream; returns the StreamingQuery (caller
     stops it). Layout under `output_dir`:
@@ -146,6 +147,18 @@ def stream_curate(
       ledger later epochs anti-join against
     * `stats/epoch=N`  — one row of per-stage survivor counts, the
       streaming analogue of the batch curate manifest
+
+    `schema` is a DDL string or a StructType — pass a StructType when
+    the source is another job's landed output (e.g. the live edge's
+    routed sinks) whose exact schema is known only at run time.
+    `transform`, if given, maps each raw micro-batch DataFrame to the
+    curate input (adding `id_col`, dropping rows that must not be
+    curated, e.g. quarantined turns) BEFORE the stage counters — so
+    `stages["input"]` counts curate candidates, not raw stream rows.
+    It must be deterministic (a pure column expression / filter):
+    replayed epochs re-apply it to byte-identical inputs and must
+    reproduce byte-identical survivors for the exactly-once overwrite
+    contract to hold.
     """
     stream = (
         spark.readStream.schema(schema)
@@ -155,6 +168,8 @@ def stream_curate(
 
     def curate_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         sp = batch_df.sparkSession
+        if transform is not None:
+            batch_df = transform(batch_df)
         if int(epoch_id) == 0:
             prior = None  # first epoch: no ledger yet
         else:

@@ -1056,3 +1056,146 @@ def test_cli_live_edge_dedup_kill9_exactly_once(spark, tmp_path, turns_pdf):
     }
     assert got.get("sink_duplicates", 0) == len(dup_keys)
     assert sum(got.values()) == len(sample)
+
+
+def test_cli_live_edge_curate_stream(spark, tmp_path, turns_pdf):
+    """ONE CLI invocation, wire -> curated parquet (--live-edge
+    --curate-stream): forward daemon + streaming route + landed sinks,
+    then the streaming curate chain drains those sinks against frozen
+    corpus artifacts. The curated survivor TEXT set must equal the
+    batch composition (route + the same turn->doc transform +
+    curate_batch over the same turns and artifacts): fingerprint-set
+    equality is batching-invariant — each distinct text survives the
+    exact-dedup stage exactly once however the epochs split, and the
+    near-dup + quality-band stages are per-doc stateless."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    from fluent_server_spark.data.synth import (
+        QUARANTINE_SINK,
+        ROUTE_RULE_ROWS,
+        lookup_df,
+    )
+    from fluent_server_spark.functions.parse import parse_turns
+    from fluent_server_spark.functions.text import md5_fingerprint
+    from fluent_server_spark.operators.enrich import enrich_turns
+    from fluent_server_spark.operators.route import route_turns, rules_from_rows
+    from fluent_server_spark.streaming.curate_stream import (
+        curate_batch,
+        freeze_curate_model,
+        read_curated,
+    )
+
+    sample = turns_pdf.head(120)
+    # reference corpus: a DISJOINT slice of turn texts, so the frozen
+    # band is trained on the same text family the wire delivers
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(turns_pdf.iloc[300:420]["text"])],
+        "doc_id long, text string",
+    )
+    corpus_path = str(tmp_path / "corpus.parquet")
+    corpus.write.parquet(corpus_path)
+
+    spool, sinks, ck, cur = (
+        str(tmp_path / x) for x in ("spool", "sinks", "ck", "curated")
+    )
+    env = {**os.environ, "PYTHONPATH": "/root/repo"}
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "fluent_server_spark",
+         "--live-edge", spool, "--sinks", sinks, "--checkpoint", ck,
+         "--curate-stream", cur, "--curate-corpus", corpus_path,
+         "--dedup-threshold", "0.9",
+         "--host", "127.0.0.1", "--port", "0", "--cpus", "4",
+         "--rotate-seconds", "1.0", "--max-seconds", "30"],
+        stdout=subprocess.PIPE, text=True, cwd="/root/repo", env=env,
+    )
+    try:
+        banner = json.loads(proc.stdout.readline())
+        port = banner["live_edge"]["port"]
+        entries = [
+            (
+                int(row.ts.timestamp()),
+                {
+                    "conv_id": row.conv_id,
+                    "turn_idx": int(row.turn_idx),
+                    "role": row.role,
+                    "text": row.text,
+                    "tool": row.tool,
+                },
+            )
+            for row in sample.itertuples()
+        ]
+
+        async def send():
+            cli = ForwardClient("127.0.0.1", port)
+            await cli.connect()
+            a1 = await cli.send_raw(
+                _forward_frame("transcripts", entries, option={"chunk": "a"}),
+                await_ack=True,
+            )
+            # chunk b RESENDS the first 30 entries — wire-level exact
+            # duplicates the curate chain (not the router) must collapse
+            a2 = await cli.send_raw(
+                _forward_frame("transcripts", entries[:30],
+                               option={"chunk": "b"}),
+                await_ack=True,
+            )
+            await cli.close()
+            return a1, a2
+
+        assert asyncio.run(send()) == ({"ack": "a"}, {"ack": "b"})
+        out, _ = proc.communicate(timeout=420)
+        assert proc.returncode == 0
+        final = json.loads(out.strip().splitlines()[-1])
+        man = final["curate_stream"]
+        landed_nonq = sum(
+            n for s, n in final["sink_counts"].items() if s != QUARANTINE_SINK
+        )
+        # curate input counts candidates (quarantine excluded, resent
+        # byte-identical rows collapsed per epoch); the per-epoch
+        # distinct() cannot collapse copies the drain split ACROSS
+        # epochs, so the sum is bounded by [global distinct, landed]
+        assert man["stages"]["input"] <= landed_nonq
+        assert man["survivors"] >= 1
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    # batch oracle: the same turns (including the 30 resent), the same
+    # turn->doc transform as the CLI, the same frozen artifacts
+    wire_pdf = pd.concat([sample, sample.head(30)], ignore_index=True)
+    routed = route_turns(
+        enrich_turns(
+            parse_turns(spark.createDataFrame(wire_pdf)), lookup_df(spark)
+        ),
+        rules_from_rows(ROUTE_RULE_ROWS),
+    )
+    docs = (
+        routed.filter(F.col("sink") != QUARANTINE_SINK)
+        .distinct()  # the CLI's value-level collapse of wire resends
+        .withColumn("doc_id", F.xxhash64("conv_id", "turn_idx"))
+    )
+    model, lo, hi = freeze_curate_model(corpus)
+    survivors, stages = curate_batch(
+        docs, corpus_index=f"{cur}/index", model=model, lo=lo, hi=hi,
+        threshold=0.9,
+    )
+    want_fps = {
+        r["fp"]
+        for r in survivors.select(
+            md5_fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+    got_fps = {
+        r["fp"]
+        for r in read_curated(spark, f"{cur}/curated")
+        .select(md5_fingerprint(F.col("text")).alias("fp"))
+        .collect()
+    }
+    assert got_fps == want_fps
+    assert man["survivors"] == len(got_fps)
+    assert man["stages"]["input"] >= docs.count()
