@@ -370,7 +370,9 @@ def _run_curate(args) -> int:
         components) -> n-gram decontamination (optional, needs an eval
         set) -> perplexity band quality filter -> DSIR target selection
         (optional) -> deterministic train/val/test split -> partitioned
-        parquet + a stage-count manifest.
+        parquet + a stage-count manifest [-> --pack-pretrain: BPE train
+        on the train split, persist merges, concat-and-chunk to fixed
+        seq_len token rows in OUT_DIR/chunks].
 
     Every stage is hash-deterministic, so two runs over the same input
     produce byte-identical keep sets — the manifest records per-stage
@@ -455,6 +457,51 @@ def _run_curate(args) -> int:
             "target_lang": args.curate_target_lang,
         },
     }
+
+    if args.pack_pretrain:
+        # final stage of a PRETRAINING pipeline: BPE trained on the
+        # train split only (no val/test leakage into the vocabulary),
+        # merges persisted for reproducible re-tokenization, then the
+        # train split concat-and-chunked into fixed seq_len token rows.
+        # Tails are KEPT in the parquet (flagged by n_tokens < seq_len)
+        # so nothing is silently lost; a dataloader filters them.
+        from fluent_server_spark.operators.bpe import bpe_train
+        from fluent_server_spark.operators.pretrain_pack import (
+            pack_pretrain_chunks,
+        )
+
+        train = out.filter(F.col("split") == "train").select("doc_id", "text")
+        merges = bpe_train(train, args.pack_merges)
+        merges.write.mode("overwrite").parquet(f"{args.curate}/bpe_merges")
+        pack_pretrain_chunks(
+            train,
+            spark.read.parquet(f"{args.curate}/bpe_merges"),
+            seq_len=args.pack_pretrain,
+            n_shards=args.pack_shards,
+            keep_tail=True,
+        ).write.mode("overwrite").parquet(f"{args.curate}/chunks")
+        row = (
+            spark.read.parquet(f"{args.curate}/chunks")
+            .agg(
+                F.count(F.lit(1)).alias("n_chunks"),
+                F.sum(
+                    (F.col("n_tokens") == args.pack_pretrain).cast("long")
+                ).alias("n_full"),
+                F.sum("n_tokens").alias("total_tokens"),
+            )
+            .collect()[0]
+        )
+        manifest["pack"] = {
+            "seq_len": args.pack_pretrain,
+            "n_merges": args.pack_merges,
+            "n_shards": args.pack_shards,
+            "n_chunks": row["n_chunks"],
+            "n_full_chunks": row["n_full"] or 0,
+            "total_tokens": row["total_tokens"] or 0,
+            "tail_tokens": (row["total_tokens"] or 0)
+            - (row["n_full"] or 0) * args.pack_pretrain,
+        }
+
     with open(f"{args.curate}/manifest.json", "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     print(json.dumps({"curate": manifest}))
@@ -631,6 +678,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="DSIR: keep this many docs most like the target slice")
     ap.add_argument("--curate-target-lang", default="en",
                     help="DSIR target slice: docs with this lang value")
+    ap.add_argument("--pack-pretrain", type=int, default=None,
+                    metavar="SEQ_LEN",
+                    help="curate: after the split, BPE-train on the train "
+                         "split, persist merges, and concat-and-chunk it "
+                         "into fixed SEQ_LEN token rows (OUT_DIR/chunks)")
+    ap.add_argument("--pack-merges", type=int, default=64,
+                    help="pack-pretrain: number of BPE merges to learn")
+    ap.add_argument("--pack-shards", type=int, default=64,
+                    help="pack-pretrain: independent token streams (bounds "
+                         "tail loss at shards*(seq_len-1) tokens)")
     ap.add_argument("--curate-stream", metavar="OUT_DIR", default=None,
                     help="STREAMING curation: watch --input (parquet file "
                          "glob) and run dedup-vs-index + cross-epoch ledger "

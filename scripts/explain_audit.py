@@ -525,6 +525,26 @@ def _extra_plans():
             ["Join", "CartesianProduct", "BatchEvalPython",
              "Exchange rangepartitioning"],
         ),
+        # r5 pretraining concat-and-chunk packing: map-only Arrow
+        # tokenize (ArrowEvalPython), prefix-sum window on shard, and a
+        # chunk assembly whose groupBy REUSES the window's hash(shard)
+        # partitioning — one exchange total (the exact count is pinned
+        # in tests/test_pretrain_pack.py); no joins, no range exchange
+        "pretrain_chunks (pack)": (
+            lambda spark: (lambda pp: pp.pack_pretrain_chunks(
+                docs(spark).select(
+                    F.col("doc_id"), F.coalesce("text", F.lit("")).alias("text")
+                ),
+                {},
+                seq_len=256,
+                n_shards=8,
+            ))(__import__("fluent_server_spark.operators.pretrain_pack",
+                          fromlist=["pack_pretrain_chunks"])),
+            ["ArrowEvalPython", "Window", "Generate",
+             "ObjectHashAggregate|HashAggregate", "Exchange hashpartitioning"],
+            ["Join", "CartesianProduct", "BatchEvalPython",
+             "Exchange rangepartitioning", "SortMergeJoin"],
+        ),
         # r5 retrieval metrics: one row_number window per side (the two
         # hash exchanges), truth collapsed to a per-query set array so
         # the sides meet on the query key alone — no (query, doc)

@@ -124,6 +124,61 @@ def test_cli_curate_end_to_end(spark, tmp_path, capsys):
     assert ids1 == ids2
 
 
+def test_cli_curate_pack_pretrain(spark, tmp_path, capsys):
+    """--pack-pretrain appends the pretraining packing stage: merges
+    persisted, OUT_DIR/chunks written, and the manifest's token
+    accounting closes — total packed tokens equal an independent
+    re-tokenization of the train split under the persisted merges plus
+    one separator per document; tail loss is bounded by the docstring
+    formula."""
+    from pyspark.sql import functions as F
+
+    from fluent_server_spark.operators.bpe import bpe_tokenize, merge_ranks
+
+    out_dir = str(tmp_path / "curated")
+    SEQ, SHARDS = 64, 4
+    rc = cli_main(
+        [
+            "--curate", out_dir,
+            "--input", "/root/testdata/sf0.001",
+            "--pack-pretrain", str(SEQ),
+            "--pack-merges", "8",
+            "--pack-shards", str(SHARDS),
+        ]
+    )
+    assert rc == 0
+    man = json.loads((tmp_path / "curated" / "manifest.json").read_text())
+    pack = man["pack"]
+    assert pack["seq_len"] == SEQ and pack["n_shards"] == SHARDS
+
+    chunks = spark.read.parquet(f"{out_dir}/chunks")
+    assert {"shard", "chunk_idx", "tokens", "n_tokens", "n_docs", "digest"} <= set(
+        chunks.columns
+    )
+    got = chunks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("n_tokens") == SEQ).cast("long")).alias("full"),
+        F.sum("n_tokens").alias("tot"),
+    ).collect()[0]
+    assert got["n"] == pack["n_chunks"]
+    assert got["full"] == pack["n_full_chunks"]
+    assert got["tot"] == pack["total_tokens"]
+    assert pack["tail_tokens"] == got["tot"] - got["full"] * SEQ
+    assert 0 <= pack["tail_tokens"] <= SHARDS * (SEQ - 1)
+
+    # conservation against an independent re-tokenization under the
+    # PERSISTED merges (the reproducibility contract of bpe_merges/)
+    merges = spark.read.parquet(f"{out_dir}/bpe_merges")
+    assert len(merge_ranks(merges)) <= 8
+    train = spark.read.parquet(f"{out_dir}/documents").filter(
+        F.col("split") == "train"
+    )
+    retok = bpe_tokenize(train, merges).agg(
+        F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("d")
+    ).collect()[0]
+    assert pack["total_tokens"] == retok["t"] + retok["d"]
+
+
 def test_cli_curate_stream_end_to_end(spark, tmp_path, capsys):
     """--curate-stream drains available files through the streaming
     curate chain (index built from the corpus, frozen band), prints the
