@@ -1,0 +1,144 @@
+"""Preference-pair construction — the RLHF/DPO data-prep stage.
+
+The post-training arc in this repo runs raw corpus → curation → SFT
+examples (operators/sft.py) → pretraining packing
+(operators/pretrain_pack.py); the remaining published stage is
+preference data: (prompt, chosen, rejected) triples built from scored
+candidate responses, the input format of DPO (Rafailov et al. 2023)
+and of RLHF reward-model training (Ouyang et al. 2022 collect ranked
+comparisons per prompt and train on every pair). `best_of_n` is the
+companion rejection-sampling selector (Llama 2, Touvron et al. 2023
+§3.2.2: keep the top-scored sample per prompt).
+
+Input shape: one row per candidate response — a prompt key (one or
+more columns), a response id, and a scalar score (reward-model score,
+human rating, or any of this repo's quality scores: NB classifier LLR,
+negated perplexity, retrieval rank). Everything downstream is a pure
+function of (prompt, id, score), so the DuckDB oracle replays it
+row-for-row (queries/sketch_oracles.py pre-stages the pair).
+
+Determinism: responses are totally ordered within a prompt by
+(score DESC, id ASC) — ties on score break on the id, so ranks, pair
+membership, and gaps never depend on partitioning or visit order.
+Because the order is total, the worst-first rank is derivable from the
+best-first rank (`n + 1 - rank`): ONE window sort yields both ends.
+
+Scale shape — one hash(prompt) exchange, bounded output:
+- the rank window and the pair self-join cluster on the same prompt
+  key, so the join consumes the window's partitioning (no second
+  shuffle of the big side; asserted against the plan in tests);
+- candidates are cut to the top-k / bottom-k PER PROMPT before the
+  join, so pair output is ≤ k² rows per prompt no matter how many
+  candidates a prompt has — a viral prompt with 10^6 responses costs
+  one linear per-key sort, never a 10^12-row pair blowup;
+- skew: a single hot prompt serializes only its own window scan (the
+  standard window-skew bound); at 10^12 rows the heavy prompts are
+  still bounded by responses-per-prompt, not corpus size.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _ranked(
+    responses: DataFrame,
+    prompt_cols: Sequence[str],
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Best-first rank (1 = highest score, ties → smaller id) and the
+    per-prompt candidate count, in one window pass."""
+    w = Window.partitionBy(*prompt_cols).orderBy(
+        F.col("_score").desc(), F.col("_id").asc()
+    )
+    w_all = Window.partitionBy(*prompt_cols)
+    return responses.select(
+        *prompt_cols,
+        F.col(id_col).alias("_id"),
+        F.col(score_col).alias("_score"),
+    ).select(
+        "*",
+        F.row_number().over(w).alias("_rank"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+    )
+
+
+def build_preference_pairs(
+    responses: DataFrame,
+    prompt_cols: Sequence[str],
+    id_col: str,
+    score_col: str,
+    k: int = 1,
+    margin: float = 0.0,
+) -> DataFrame:
+    """(prompt, chosen, rejected) pairs: each of the top-`k` responses
+    per prompt against each of the bottom-`k`, kept when the score gap
+    exceeds `margin` (strict — a zero gap is never a preference).
+
+    `k=1` is the classic best-vs-worst single pair per prompt; larger
+    `k` yields up to k² pairs per prompt, the InstructGPT convention of
+    training on every pair from a ranked set, restricted to the
+    confident extremes. `chosen_rank < rejected_rank` keeps the pair
+    orientation sound when the two windows overlap (n < 2k) and makes
+    self-pairing impossible.
+
+    Output: prompt cols + chosen_id/chosen_score/rejected_id/
+    rejected_score/score_gap, one row per kept pair.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    r = _ranked(responses, prompt_cols, id_col, score_col)
+    chosen = r.filter(F.col("_rank") <= k).select(
+        *prompt_cols,
+        F.col("_id").alias("chosen_id"),
+        F.col("_score").alias("chosen_score"),
+        F.col("_rank").alias("_c_rank"),
+    )
+    rejected = r.filter(F.col("_rank") > F.col("_n") - k).select(
+        *prompt_cols,
+        F.col("_id").alias("rejected_id"),
+        F.col("_score").alias("rejected_score"),
+        F.col("_rank").alias("_r_rank"),
+    )
+    pairs = chosen.join(rejected, list(prompt_cols), "inner").filter(
+        (F.col("_c_rank") < F.col("_r_rank"))
+        & (F.col("chosen_score") - F.col("rejected_score") > F.lit(margin))
+    )
+    return pairs.select(
+        *prompt_cols,
+        "chosen_id",
+        "chosen_score",
+        "rejected_id",
+        "rejected_score",
+        (F.col("chosen_score") - F.col("rejected_score")).alias("score_gap"),
+    )
+
+
+def best_of_n(
+    responses: DataFrame,
+    prompt_cols: Sequence[str],
+    id_col: str,
+    score_col: str,
+    min_candidates: int = 1,
+) -> DataFrame:
+    """Rejection sampling / Best-of-N: the top-scored response per
+    prompt (ties → smaller id), optionally only for prompts that had at
+    least `min_candidates` candidates (a BoN selection from one sample
+    is no selection at all — callers building distillation sets
+    typically require n ≥ 2).
+
+    Same one-exchange shape as the pair builder; output is exactly one
+    row per qualifying prompt."""
+    r = _ranked(responses, prompt_cols, id_col, score_col)
+    return r.filter(
+        (F.col("_rank") == 1) & (F.col("_n") >= min_candidates)
+    ).select(
+        *prompt_cols,
+        F.col("_id").alias("best_id"),
+        F.col("_score").alias("best_score"),
+        F.col("_n").alias("n_candidates"),
+    )

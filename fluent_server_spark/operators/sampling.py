@@ -108,3 +108,62 @@ def epoch_shuffle(
             "_shuffle_key"
         )
     return out.orderBy("_shuffle_key", key_col).drop("_shuffle_key")
+
+
+def temperature_mix_rates(
+    counts: dict[str, int],
+    alpha: float,
+    budget: int | None = None,
+) -> dict[str, float]:
+    """Temperature-scaled mixture rates — the published multilingual /
+    multi-domain reweighting rule (multilingual BERT, XLM-R: sample
+    domain i with probability p_i ∝ q_i^alpha where q_i is its corpus
+    share; alpha=1 is natural proportions, alpha→0 is uniform).
+
+    Given per-stratum row counts, returns per-stratum KEEP RATES for
+    :func:`weighted_sample` such that the expected sample follows the
+    temperature distribution. `budget` is the target total row count;
+    when omitted, the largest feasible budget is used (the one that
+    drives the tightest stratum to rate 1.0 — pure downsampling, never
+    an impossible rate > 1).
+
+    Driver-side math over a dict of counts (one row per stratum — the
+    same bounded-collect contract as the IVF seeds and z-order bounds);
+    the heavy lifting stays in the weighted_sample hash predicate.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    pos = {k: v for k, v in counts.items() if v > 0}
+    if not pos:
+        return {k: 0.0 for k in counts}
+    total = sum(pos.values())
+    weights = {k: (v / total) ** alpha for k, v in pos.items()}
+    wsum = sum(weights.values())
+    probs = {k: w / wsum for k, w in weights.items()}
+    # feasibility: budget * p_k <= count_k for every stratum
+    max_budget = min(c / probs[k] for k, c in pos.items())
+    b = max_budget if budget is None else min(float(budget), max_budget)
+    rates = {k: min(1.0, b * probs[k] / c) for k, c in pos.items()}
+    return {k: rates.get(k, 0.0) for k in counts}
+
+
+def temperature_mix(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    alpha: float,
+    budget: int | None = None,
+    salt: str = "tmix",
+) -> DataFrame:
+    """One-call temperature mixing: count strata (one agg, bounded rows),
+    derive rates, filter via the portable hash predicate. The counts
+    collect is bounded by the number of strata (sources/languages —
+    thousands at most), never by corpus size."""
+    counts = {
+        r["k"]: r["n"]
+        for r in df.groupBy(F.col(stratum_col).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rates = temperature_mix_rates(counts, alpha, budget)
+    return weighted_sample(df, key_col, stratum_col, rates, salt=salt)

@@ -549,3 +549,147 @@ FROM met
 SKETCH_QUERIES["lsh_recall_mrr"] = QuerySpec(
     q_lsh_recall_mrr, _sql_lsh_recall_mrr()
 )
+
+
+# ------------------------------------------ preference pairs / BoN (r5)
+
+PREF_K = 2
+
+
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO-style (prompt, chosen, rejected) pairs over the events table:
+    prompt = (user_id, event_type), candidates = that group's events,
+    score = value (operators/preference.py; top-2 x bottom-2, margin 0)."""
+    from pyspark.sql import functions as F  # noqa: F401 (parity w/ siblings)
+
+    from fluent_server_spark.operators.preference import build_preference_pairs
+
+    ev = load_table(spark, sf_dir, "events")
+    return build_preference_pairs(
+        ev, ["user_id", "event_type"], "event_id", "value", k=PREF_K
+    )
+
+
+SQL_PREFERENCE_PAIRS = f"""
+WITH r AS (
+  SELECT user_id, event_type, event_id, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY value DESC, event_id ASC) AS rnk,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM events)
+SELECT c.user_id, c.event_type,
+       c.event_id AS chosen_id, c.value AS chosen_score,
+       x.event_id AS rejected_id, x.value AS rejected_score,
+       c.value - x.value AS score_gap
+FROM r c JOIN r x
+  ON c.user_id = x.user_id AND c.event_type = x.event_type
+WHERE c.rnk <= {PREF_K} AND x.rnk > x.n - {PREF_K}
+  AND c.rnk < x.rnk AND c.value - x.value > 0
+"""
+
+
+SKETCH_QUERIES["preference_pairs"] = QuerySpec(
+    q_preference_pairs, SQL_PREFERENCE_PAIRS
+)
+
+
+def q_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rejection-sampling selection: the top-valued event per
+    (user_id, event_type) prompt among groups with >= 2 candidates."""
+    from fluent_server_spark.operators.preference import best_of_n
+
+    ev = load_table(spark, sf_dir, "events")
+    return best_of_n(
+        ev, ["user_id", "event_type"], "event_id", "value", min_candidates=2
+    )
+
+
+SQL_BEST_OF_N = """
+WITH r AS (
+  SELECT user_id, event_type, event_id, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY value DESC, event_id ASC) AS rnk,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM events)
+SELECT user_id, event_type, event_id AS best_id, value AS best_score,
+       n AS n_candidates
+FROM r WHERE rnk = 1 AND n >= 2
+"""
+
+
+SKETCH_QUERIES["best_of_n"] = QuerySpec(q_best_of_n, SQL_BEST_OF_N)
+
+
+# ------------------------------------------ transcript structural QC (r5)
+
+QC_USER, QC_ASST = "view", "purchase"
+
+
+def q_transcript_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-shape gating (operators/transcript_qc.py) mapped
+    onto the events table the same way the SFT pair is: user_id as
+    conv_id, (ts, event_id) as the order, event_type as role, props as
+    text; 'view' plays user and 'purchase' plays assistant. idx_col is
+    None (events carry no per-conversation index; the contiguity
+    conjunct is pinned by pytest instead)."""
+    from pyspark.sql import functions as F
+
+    from fluent_server_spark.operators.transcript_qc import transcript_qc
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        "ts",
+        "event_id",
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+    )
+    return transcript_qc(
+        ev,
+        key_col="user_id",
+        order_cols=("ts", "event_id"),
+        user_role=QC_USER,
+        assistant_role=QC_ASST,
+        idx_col=None,
+    )
+
+
+_QC_FULL = (
+    "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+)
+
+SQL_TRANSCRIPT_QC = f"""
+WITH t AS (
+  SELECT user_id, ts, event_id,
+         coalesce(event_type, '') AS role,
+         length(trim(coalesce(props, ''))) = 0 AS blank
+  FROM events),
+w AS (
+  SELECT *,
+         role = lag(role) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS same_prev,
+         first_value(role) {_QC_FULL} AS first_role,
+         last_value(role) {_QC_FULL} AS last_role
+  FROM t),
+g AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(sum(CASE WHEN role = '{QC_USER}' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_user_turns,
+         CAST(sum(CASE WHEN role = '{QC_ASST}' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_assistant_turns,
+         min(first_role) = '{QC_USER}' AS starts_with_user,
+         min(last_role) = '{QC_ASST}' AS ends_with_assistant,
+         sum(CASE WHEN coalesce(same_prev, false) THEN 1 ELSE 0 END) = 0
+           AS alternation_ok,
+         sum(CASE WHEN role = '{QC_ASST}' AND blank THEN 1 ELSE 0 END) = 0
+           AS no_empty_assistant
+  FROM w GROUP BY user_id)
+SELECT *,
+       starts_with_user AND ends_with_assistant AND alternation_ok
+         AND no_empty_assistant AND n_assistant_turns > 0 AS qc_ok
+FROM g
+"""
+
+
+SKETCH_QUERIES["transcript_qc"] = QuerySpec(q_transcript_qc, SQL_TRANSCRIPT_QC)

@@ -569,6 +569,46 @@ def _extra_plans():
             ["CartesianProduct", "Python", "Exchange rangepartitioning",
              "BroadcastNestedLoopJoin"],
         ),
+        # r5 DPO preference pairs: ONE hash(prompt) exchange feeds both
+        # the rank window and the top-k x bottom-k self-join (the second
+        # side is a ReusedExchange — the <=1 net-exchange bound is
+        # pinned in tests/test_preference.py); candidates are rank-cut
+        # BEFORE the join so output is <= k^2 per prompt; equi-join
+        # only, no Python
+        "preference_pairs (build)": (
+            lambda spark: __import__(
+                "fluent_server_spark.queries.sketch_oracles",
+                fromlist=["q_preference_pairs"],
+            ).q_preference_pairs(spark, SF),
+            ["Window", "Exchange hashpartitioning",
+             "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+            ["CartesianProduct", "Python", "Exchange rangepartitioning",
+             "BroadcastNestedLoopJoin"],
+        ),
+        # r5 transcript structural QC: lag + full-frame first/last
+        # windows and the flag aggregation all cluster on the conv key —
+        # ONE hash exchange (pinned in tests/test_transcript_qc.py),
+        # no joins, no Python
+        "transcript_qc (flags)": (
+            lambda spark: __import__(
+                "fluent_server_spark.queries.sketch_oracles",
+                fromlist=["q_transcript_qc"],
+            ).q_transcript_qc(spark, SF),
+            ["Window", "Exchange hashpartitioning"],
+            ["Join", "CartesianProduct", "EvalPython",
+             "Exchange rangepartitioning"],
+        ),
+        # r5 best-of-n selection: the same single-exchange rank window,
+        # then a plain filter — no join at all
+        "best_of_n (select)": (
+            lambda spark: __import__(
+                "fluent_server_spark.queries.sketch_oracles",
+                fromlist=["q_best_of_n"],
+            ).q_best_of_n(spark, SF),
+            ["Window", "Exchange hashpartitioning"],
+            ["Join", "CartesianProduct", "Python",
+             "Exchange rangepartitioning"],
+        ),
     }
 
 

@@ -96,3 +96,53 @@ def test_epoch_shuffle_sharded_matches_global_order(spark):
     assert order == flat
     pids = [r["pid"] for r in per_part]
     assert pids == sorted(pids) and len(set(pids)) > 1
+
+
+def test_temperature_mix_rates_math():
+    import pytest
+
+    from fluent_server_spark.operators.sampling import temperature_mix_rates
+
+    counts = {"a": 900, "b": 90, "c": 10}
+    # alpha=1 with a budget: natural proportions -> one uniform rate
+    assert temperature_mix_rates(counts, 1.0, 100) == pytest.approx(
+        {"a": 0.1, "b": 0.1, "c": 0.1}
+    )
+    # alpha=0: uniform target; max feasible budget is 3x the smallest
+    # stratum (it hits rate 1.0), others downsample to match its size
+    r0 = temperature_mix_rates(counts, 0.0)
+    assert r0["c"] == 1.0
+    assert r0["a"] == pytest.approx(10 / 900)
+    assert r0["b"] == pytest.approx(10 / 90)
+    # infeasible budget clamps instead of emitting rates > 1
+    r = temperature_mix_rates(counts, 0.5, 10**9)
+    assert max(r.values()) == 1.0 and all(0 < v <= 1.0 for v in r.values())
+    # zero-count and empty strata never divide by zero
+    assert temperature_mix_rates({"a": 0}, 0.5) == {"a": 0.0}
+    with pytest.raises(ValueError):
+        temperature_mix_rates(counts, -0.1)
+
+
+def test_temperature_mix_on_dataframe(spark):
+    from pyspark.sql import functions as F
+
+    from fluent_server_spark.operators.sampling import temperature_mix
+
+    df = (
+        _ids(spark, 30_000)
+        .withColumn(
+            "source",
+            F.when(F.col("doc_id") < 27_000, "big").otherwise("small"),
+        )
+    )
+    # alpha=0 -> equal expected contributions from both strata
+    out = temperature_mix(df, "doc_id", "source", alpha=0.0)
+    by = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert by["small"] == 3000  # rate 1.0 — kept whole
+    assert abs(by["big"] - 3000) / 3000 < 0.1  # hash-rate tolerance
+    # determinism: re-running yields the identical sample
+    ids1 = {r["doc_id"] for r in out.collect()}
+    ids2 = {r["doc_id"] for r in temperature_mix(
+        df, "doc_id", "source", alpha=0.0).collect()}
+    assert ids1 == ids2
