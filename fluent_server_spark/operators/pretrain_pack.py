@@ -68,15 +68,18 @@ def pack_pretrain_chunks(
     sep: str = DOC_SEP,
     keep_tail: bool = False,
 ) -> DataFrame:
-    """(shard, chunk_idx, tokens, n_tokens, n_docs, digest): the corpus
-    as fixed-length pretraining chunks.
+    """(shard, chunk_idx, tokens, n_tokens, n_docs, doc_spans, digest):
+    the corpus as fixed-length pretraining chunks.
 
     Every chunk has exactly ``seq_len`` tokens except each shard's tail
     (dropped unless ``keep_tail=True``; tails are the rows with
     ``n_tokens < seq_len``). ``n_docs`` counts the documents that
     contributed at least one token (or separator) to the chunk;
-    ``digest`` is md5 of the space-joined token stream (safe: the
-    pre-tokenizer emits no whitespace inside a token).
+    ``doc_spans`` is the per-document piece offsets within the chunk
+    ("start-end;start-end", end exclusive, stream order) — the
+    block-diagonal attention-mask metadata, covering [0, n_tokens)
+    exactly; ``digest`` is md5 of the space-joined token stream (safe:
+    the pre-tokenizer emits no whitespace inside a token).
     """
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
@@ -126,6 +129,7 @@ def pack_pretrain_chunks(
             (hi - lo).cast("int"),
         ).alias("_piece"),
         (hi - lo).alias("_plen"),
+        (lo - F.col("chunk_idx") * L).alias("_off"),
     )
 
     # assemble: pieces ordered by their stream offset — the one
@@ -136,12 +140,27 @@ def pack_pretrain_chunks(
             lambda x: x["_piece"],
         )
     )
+    # per-document piece spans WITHIN the chunk ("start-end", end
+    # exclusive, stream order) — the block-diagonal attention-mask
+    # metadata (Llama 3 masks self-attention across document boundaries
+    # inside a packed sequence; a trainer rebuilds that mask from these
+    # offsets without re-scanning the tokens for separators)
+    spans = F.concat_ws(
+        ";",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_start", "_off", "_plen"))),
+            lambda x: F.concat_ws(
+                "-", x["_off"], (x["_off"] + x["_plen"]).cast("bigint")
+            ),
+        ),
+    )
     out = (
         t.groupBy("shard", "chunk_idx")
         .agg(
             tokens.alias("tokens"),
             F.sum("_plen").cast("bigint").alias("n_tokens"),
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            spans.alias("doc_spans"),
         )
         .withColumn("digest", F.md5(F.concat_ws(" ", F.col("tokens"))))
     )

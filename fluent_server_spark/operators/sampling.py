@@ -167,3 +167,58 @@ def temperature_mix(
     }
     rates = temperature_mix_rates(counts, alpha, budget)
     return weighted_sample(df, key_col, stratum_col, rates, salt=salt)
+
+
+def cluster_safe_splits(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    split_weights: dict[str, float],
+    salt: str = "split",
+    cluster_id_col: str = "cluster_id",
+) -> DataFrame:
+    """Leakage-safe train/eval splitting: assign near-dup CLUSTERS to
+    splits, not documents, so no near-duplicate pair ever straddles a
+    split boundary (the contamination mode Lee et al. 2022 measure:
+    eval examples with a near-dup in train overstate model quality).
+
+    `clusters` is the (id, cluster_id) output of connected components
+    over any near-dup relation in this repo (minhash, simhash,
+    embedding LSH, SemDeDup). Documents absent from it are singletons
+    and use their own id as the split key — a LEFT join + coalesce, so
+    the cluster table only needs rows for docs that HAVE a duplicate.
+
+    The split is the portable hash bucket of the CLUSTER key cut at the
+    cumulative weights (split names in sorted order), which makes every
+    member of a cluster land in the same split by construction, keeps
+    membership a pure function of (cluster, salt), and — because the
+    thresholds are cumulative — keeps re-weighting monotone: growing a
+    split's weight only MOVES keys in from its sorted successors, never
+    reshuffles the whole corpus.
+
+    Scale: one keyed equi-join (docs x cluster map; the map is one row
+    per clustered doc, usually a small fraction of the corpus) + a
+    narrow hash predicate. No window, no collect.
+    """
+    total = sum(split_weights.values())
+    if total <= 0 or any(w < 0 for w in split_weights.values()):
+        raise ValueError(f"split weights must be >= 0 with a positive sum: {split_weights}")
+    cmap = clusters.select(
+        F.col(id_col).alias("_sid"), F.col(cluster_id_col).alias("_cluster")
+    )
+    joined = docs.join(cmap, docs[id_col] == cmap["_sid"], "left").drop("_sid")
+    key = F.coalesce(F.col("_cluster"), F.col(id_col))
+    h = sample_hash(key, salt)
+    cum = 0.0
+    expr = None
+    for name, w in sorted(split_weights.items()):
+        cum += w / total
+        cond = h < int(cum * _MOD)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    # float-rounding tail: the last split absorbs hash values at the
+    # boundary (cum ends at 1.0 up to fp error)
+    last = sorted(split_weights)[-1]
+    expr = expr.otherwise(F.lit(last))
+    return joined.withColumn("split_key", key).withColumn("split", expr).drop(
+        "_cluster"
+    )

@@ -693,3 +693,50 @@ FROM g
 
 
 SKETCH_QUERIES["transcript_qc"] = QuerySpec(q_transcript_qc, SQL_TRANSCRIPT_QC)
+
+
+# ------------------------------------------ leakage-safe splits (r5)
+
+CSPLIT_WEIGHTS = {"train": 0.9, "eval": 0.1}
+
+
+def q_cluster_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware split assignment over the driver minhash clusters:
+    the registered neardup_clusters query feeds
+    operators/sampling.cluster_safe_splits, so the oracle replays the
+    cluster SQL verbatim and layers the LEFT join + hash cut on top."""
+    from fluent_server_spark.operators.sampling import cluster_safe_splits
+    from fluent_server_spark.queries.docs import q_neardup_clusters
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    clusters = q_neardup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    return cluster_safe_splits(
+        docs, clusters, "doc_id", CSPLIT_WEIGHTS, salt="csplit"
+    )
+
+
+def _sql_cluster_safe_splits() -> str:
+    from fluent_server_spark.queries.docs import SQL_NEARDUP_CLUSTERS
+
+    # same cut points as the operator: sorted names, cumulative * 1e6
+    return f"""
+WITH j AS (
+  SELECT d.doc_id, d.source,
+         coalesce(c.cluster_id, d.doc_id) AS split_key
+  FROM (SELECT doc_id, source FROM documents) d
+  LEFT JOIN (SELECT doc_id, cluster_id FROM ({SQL_NEARDUP_CLUSTERS})) c
+    ON d.doc_id = c.doc_id),
+h AS (
+  SELECT *,
+         CAST('0x' || substr(md5('csplit' || CAST(split_key AS VARCHAR)), 1, 15)
+              AS BIGINT) % 1000000 AS hv
+  FROM j)
+SELECT doc_id, source, split_key,
+       CASE WHEN hv < 100000 THEN 'eval' ELSE 'train' END AS split
+FROM h
+"""
+
+
+SKETCH_QUERIES["cluster_safe_splits"] = QuerySpec(
+    q_cluster_safe_splits, _sql_cluster_safe_splits()
+)

@@ -598,6 +598,25 @@ def _extra_plans():
             ["Join", "CartesianProduct", "EvalPython",
              "Exchange rangepartitioning"],
         ),
+        # r5 leakage-safe splits: one keyed equi-join of the corpus
+        # against the (usually much smaller) cluster map + a narrow
+        # hash-cut projection — no window, no Python, no cartesian
+        "cluster_safe_splits (assign)": (
+            lambda spark: __import__(
+                "fluent_server_spark.operators.sampling",
+                fromlist=["cluster_safe_splits"],
+            ).cluster_safe_splits(
+                docs(spark),
+                docs(spark).select(
+                    "doc_id", (F.col("doc_id") % 50).alias("cluster_id")
+                ),
+                "doc_id",
+                {"train": 0.9, "eval": 0.1},
+            ),
+            ["Join"],
+            ["CartesianProduct", "EvalPython", "Window",
+             "Exchange rangepartitioning"],
+        ),
         # r5 best-of-n selection: the same single-exchange rank window,
         # then a plain filter — no join at all
         "best_of_n (select)": (

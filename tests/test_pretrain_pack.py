@@ -77,10 +77,17 @@ def _ref_pack(spark, corpus, seq_len, n_shards, keep_tail):
             piece = stream[ci * seq_len : (ci + 1) * seq_len]
             if not keep_tail and len(piece) < seq_len:
                 continue
+            window = contrib[ci * seq_len : (ci + 1) * seq_len]
+            spans, start = [], 0
+            for j in range(1, len(window) + 1):
+                if j == len(window) or window[j] != window[start]:
+                    spans.append(f"{start}-{j}")
+                    start = j
             chunks[(shard, ci)] = {
                 "tokens": piece,
                 "n_tokens": len(piece),
-                "n_docs": len(set(contrib[ci * seq_len : (ci + 1) * seq_len])),
+                "n_docs": len(set(window)),
+                "doc_spans": ";".join(spans),
                 "digest": hashlib.md5(" ".join(piece).encode()).hexdigest(),
             }
     return chunks
@@ -94,7 +101,20 @@ def test_chunks_match_python_reference(spark, corpus, packed):
         assert list(got["tokens"]) == want["tokens"], key
         assert got["n_tokens"] == want["n_tokens"], key
         assert got["n_docs"] == want["n_docs"], key
+        assert got["doc_spans"] == want["doc_spans"], key
         assert got["digest"] == want["digest"], key
+
+
+def test_doc_spans_tile_each_chunk(packed):
+    """Spans are contiguous, non-overlapping, in stream order, and
+    cover [0, n_tokens) exactly — a trainer can build the
+    block-diagonal attention mask from them without re-scanning."""
+    for key, r in packed.items():
+        spans = [tuple(map(int, s.split("-"))) for s in r["doc_spans"].split(";")]
+        assert spans[0][0] == 0 and spans[-1][1] == r["n_tokens"], key
+        for (a, b), (c, d) in zip(spans, spans[1:]):
+            assert b == c and a < b and c < d, key
+        assert len(spans) == r["n_docs"], key
 
 
 def test_all_full_chunks_exactly_seq_len(packed):

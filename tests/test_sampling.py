@@ -146,3 +146,55 @@ def test_temperature_mix_on_dataframe(spark):
     ids2 = {r["doc_id"] for r in temperature_mix(
         df, "doc_id", "source", alpha=0.0).collect()}
     assert ids1 == ids2
+
+
+def test_cluster_safe_splits(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fluent_server_spark.operators.dedup import connected_components
+    from fluent_server_spark.operators.sampling import cluster_safe_splits
+
+    docs = _ids(spark, 5000)
+    # chain duplicates: every doc_id < 300 pairs with doc_id+100 (three
+    # overlapping chains -> clusters of size up to 4)
+    pairs = (
+        spark.range(300)
+        .select(F.col("id").alias("a_id"), (F.col("id") + 100).alias("b_id"))
+    )
+    clusters = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    out = cluster_safe_splits(
+        docs, clusters, "doc_id", {"train": 0.8, "eval": 0.2}
+    )
+    rows = out.collect()
+    assert len(rows) == 5000
+    # every cluster wholly in one split (the leakage-safety claim)
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r["split_key"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_key.values())
+    # the chained ids 0..399 collapse onto 100 clusters, each atomic
+    chained = [r for r in rows if r["doc_id"] < 400]
+    assert len({r["split_key"] for r in chained}) == 100
+    # proportions near the weights; deterministic under re-run
+    n_eval = sum(1 for r in rows if r["split"] == "eval")
+    assert abs(n_eval / 5000 - 0.2) < 0.03
+    again = {
+        (r["doc_id"], r["split"])
+        for r in cluster_safe_splits(
+            docs, clusters, "doc_id", {"train": 0.8, "eval": 0.2}
+        ).collect()
+    }
+    assert again == {(r["doc_id"], r["split"]) for r in rows}
+    # monotone re-weighting: growing eval only ever PULLS keys from
+    # train (eval is a superset of the smaller-eval assignment)
+    bigger = cluster_safe_splits(
+        docs, clusters, "doc_id", {"train": 0.6, "eval": 0.4}
+    ).collect()
+    eval_small = {r["doc_id"] for r in rows if r["split"] == "eval"}
+    eval_big = {r["doc_id"] for r in bigger if r["split"] == "eval"}
+    assert eval_small <= eval_big
+    with pytest.raises(ValueError):
+        cluster_safe_splits(docs, clusters, "doc_id", {"train": 0.0})
