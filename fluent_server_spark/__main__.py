@@ -508,6 +508,72 @@ def _run_curate(args) -> int:
     return 0
 
 
+def _run_sft(args) -> int:
+    """One-command SFT dataset building over a transcript table — the
+    post-training sibling of --curate: structural QC (transcript_qc) ->
+    gate -> rendered examples with loss-mask spans (build_sft_examples
+    at --sft-max-chars) -> partitioned parquet + manifest.
+
+    The default gate is the RELAXED flag set (ends_with_assistant,
+    no_empty_assistant, idx_contiguous): real transcript corpora carry
+    tool/system turns, so strict user/assistant alternation is expected
+    to fail on them and --sft-strict opts into the full qc_ok
+    conjunction instead. The QC verdicts are persisted alongside the
+    examples so the gate is auditable row-for-row. Usage:
+
+        python -m fluent_server_spark --sft OUT_DIR --input TURNS \
+            [--sft-max-chars 2048] [--sft-strict]
+    """
+    from pyspark.sql import functions as F
+
+    from fluent_server_spark.operators.sft import build_sft_examples
+    from fluent_server_spark.operators.transcript_qc import transcript_qc
+
+    spark = get_spark("fss-sft", cpus=args.cpus)
+    turns = load_turns(spark, args.source, args.input)
+    n_turns_in = turns.count()
+
+    transcript_qc(turns).write.mode("overwrite").parquet(f"{args.sft}/qc")
+    qc = spark.read.parquet(f"{args.sft}/qc")
+    flags = (
+        ["qc_ok"]
+        if args.sft_strict
+        else ["ends_with_assistant", "no_empty_assistant", "idx_contiguous"]
+    )
+    pred = F.lit(True)
+    for f_ in flags:
+        pred = pred & F.col(f_)
+    keep = qc.filter(pred).select("conv_id")
+    gated = turns.join(keep, ["conv_id"], "left_semi")
+
+    build_sft_examples(
+        gated, args.sft_max_chars, include_text=True
+    ).write.mode("overwrite").parquet(f"{args.sft}/examples")
+    ex = spark.read.parquet(f"{args.sft}/examples")
+    row = ex.agg(
+        F.count(F.lit(1)).alias("n_examples"),
+        F.sum("example_chars").alias("total_chars"),
+        F.sum("mask_chars").alias("mask_chars"),
+        F.count_distinct("conv_id").alias("n_convs"),
+    ).collect()[0]
+    manifest = {
+        "input": {"n_turns": n_turns_in, "n_convs": qc.count()},
+        "gate": {"flags": flags, "n_convs_pass": keep.count(),
+                 "n_turns_kept": gated.count()},
+        "examples": {
+            "n_examples": row["n_examples"],
+            "n_convs": row["n_convs"],
+            "total_chars": row["total_chars"] or 0,
+            "mask_chars": row["mask_chars"] or 0,
+        },
+        "params": {"max_chars": args.sft_max_chars, "strict": args.sft_strict},
+    }
+    with open(f"{args.sft}/manifest.json", "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    print(json.dumps({"sft": manifest}))
+    return 0
+
+
 def _curate_stream_drain(
     spark, args, out_dir, source, checkpoint, schema=None, transform=None
 ) -> dict:
@@ -697,6 +763,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="curate-stream: reference corpus for the frozen "
                          "model/band (and the minhash index when "
                          "--dedup-index is absent)")
+    ap.add_argument("--sft", metavar="OUT_DIR", default=None,
+                    help="build an SFT example dataset from a transcript "
+                         "table: QC gate + rendered examples with loss-mask "
+                         "spans + manifest (needs --input)")
+    ap.add_argument("--sft-max-chars", type=int, default=2048,
+                    help="example budget for --sft (greedy turn-boundary "
+                         "packing)")
+    ap.add_argument("--sft-strict", action="store_true",
+                    help="--sft gates on the full qc_ok conjunction "
+                         "(incl. strict role alternation and "
+                         "starts-with-user) instead of the relaxed set")
     ap.add_argument("--fold-on-drain", action="store_true",
                     help="curate-stream: after draining, fold accepted "
                          "docs' signatures into the persisted index and "
@@ -721,6 +798,10 @@ def main(argv: list[str] | None = None) -> int:
         if not args.input:
             ap.error("--curate requires --input")
         return _run_curate(args)
+    if args.sft:
+        if not args.input:
+            ap.error("--sft requires --input")
+        return _run_sft(args)
     if args.forward_server:
         return _run_forward_server(args)
     if args.live_edge:

@@ -109,10 +109,23 @@ def transcript_qc(
 def gate_transcripts(
     turns: DataFrame,
     key_col: str = "conv_id",
+    flags: Sequence[str] | None = None,
     **qc_kwargs,
 ) -> DataFrame:
-    """Keep only the turns of conversations that pass ``qc_ok`` — the
-    filter form, composable ahead of build_sft_examples."""
+    """Keep only the turns of conversations that pass the gate — the
+    filter form, composable ahead of build_sft_examples. By default the
+    gate is ``qc_ok`` (every flag); pass ``flags`` to require a subset
+    (e.g. a tool-using corpus where strict alternation is expected to
+    fail but blank assistant turns are still fatal)."""
     verdicts = transcript_qc(turns, key_col=key_col, **qc_kwargs)
-    keep = verdicts.filter(F.col("qc_ok")).select(key_col)
+    if flags is None:
+        pred = F.col("qc_ok")
+    else:
+        missing = [f for f in flags if f not in verdicts.columns]
+        if missing:
+            raise ValueError(f"unknown QC flags: {missing}")
+        pred = F.lit(True)
+        for f_ in flags:
+            pred = pred & F.col(f_)
+    keep = verdicts.filter(pred).select(key_col)
     return turns.join(keep, [key_col], "left_semi")

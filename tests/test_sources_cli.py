@@ -267,3 +267,49 @@ def test_cli_curate_stream_end_to_end(spark, tmp_path, capsys):
     assert man5["stages"]["exact_dedup"] == man5["stages"]["input"] - 1
     assert man5["stages"]["neardup_vs_corpus"] == man5["stages"]["exact_dedup"] - 1
     assert man5["survivors"] == 1
+
+
+def test_cli_sft_end_to_end(spark, tmp_path, capsys):
+    """--sft gates transcripts through the structural QC and writes
+    rendered examples + an auditable manifest whose counts equal the
+    in-process library composition (same gate, same builder)."""
+    from pyspark.sql import functions as F
+
+    from fluent_server_spark.data.synth import synth_turns_pandas
+    from fluent_server_spark.operators.sft import build_sft_examples
+    from fluent_server_spark.operators.transcript_qc import gate_transcripts
+
+    turns_pq = str(tmp_path / "turns.parquet")
+    spark.createDataFrame(synth_turns_pandas(3000, n_convs=120)).write.mode(
+        "overwrite"
+    ).parquet(turns_pq)
+    out_dir = str(tmp_path / "sft")
+    rc = cli_main(["--sft", out_dir, "--input", turns_pq,
+                   "--sft-max-chars", "512"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    man = json.loads((tmp_path / "sft" / "manifest.json").read_text())
+    assert out["sft"] == man
+    assert man["input"]["n_turns"] == 3000
+    assert man["input"]["n_convs"] == 120
+    assert 0 < man["gate"]["n_convs_pass"] <= 120
+    assert man["examples"]["n_examples"] > 0
+    assert 0 < man["examples"]["mask_chars"] < man["examples"]["total_chars"]
+
+    # library parity: the CLI's gate + build equals the same composition
+    # done in-process (relaxed flag set, same budget)
+    turns = spark.read.parquet(turns_pq)
+    gated = gate_transcripts(
+        turns,
+        flags=["ends_with_assistant", "no_empty_assistant", "idx_contiguous"],
+    )
+    want = build_sft_examples(gated, 512, include_text=True)
+    got = spark.read.parquet(f"{out_dir}/examples")
+    assert got.count() == man["examples"]["n_examples"] == want.count()
+    w = {r["example_md5"] for r in want.select("example_md5").collect()}
+    g = {r["example_md5"] for r in got.select("example_md5").collect()}
+    assert w == g
+    # QC verdicts persisted, one per conversation
+    qc = spark.read.parquet(f"{out_dir}/qc")
+    assert qc.count() == 120
+    assert qc.filter(F.col("qc_ok").isNull()).count() == 0

@@ -103,3 +103,21 @@ def test_single_exchange_plan(spark, tdf):
     # no UDF stage, no join (createDataFrame's scan node mentions
     # "PythonRDD", so match the eval operators specifically)
     assert "EvalPython" not in plan and "Join" not in plan, plan
+
+
+def test_gate_flag_subset_and_validation(spark, tdf):
+    import pytest
+
+    # relaxed gate: drop the alternation/starts requirements -> c_alt and
+    # c_start pass (they end on assistant, have no blanks, contiguous idx)
+    kept = {
+        r["conv_id"]
+        for r in gate_transcripts(
+            tdf,
+            flags=["ends_with_assistant", "no_empty_assistant",
+                   "idx_contiguous"],
+        ).select("conv_id").distinct().collect()
+    }
+    assert kept == {"c_ok", "c_alt", "c_start"}
+    with pytest.raises(ValueError):
+        gate_transcripts(tdf, flags=["no_such_flag"]).collect()
