@@ -142,3 +142,109 @@ def best_of_n(
         F.col("_score").alias("best_score"),
         F.col("_n").alias("n_candidates"),
     )
+
+
+def conversation_preference_pairs(
+    turns: DataFrame,
+    scores: DataFrame,
+    k: int = 1,
+    margin: float = 0.0,
+    key_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    role_col: str = "role",
+    text_col: str = "text",
+    response_role: str = "assistant",
+    score_col: str = "score",
+) -> DataFrame:
+    """Transcript-native preference pairs: conversations that share the
+    SAME prompt context (identical rendered prefix up to the final
+    response turn) are candidate sets — exactly how sampled-N-times
+    RLHF data arrives, one conversation per sample of the same prompt —
+    and their final ``response_role`` turns are paired by a
+    per-conversation score (``scores``: one row per ``key_col``).
+
+    Rendering reuses the SFT template (``<|role|>\\n`` text
+    ``<|end|>\\n``, operators/sft.py) so prompt identity means
+    byte-identical context including roles, not just equal user text.
+    The prompt key is the md5 of the rendered prefix; conversations
+    whose LAST turn is not a ``response_role`` turn have nothing to
+    pair and are dropped (the same "ends with assistant" contract
+    transcript_qc gates on).
+
+    Scale shape — one hash(conv) exchange to fold each conversation to
+    a (prompt_md5, response) row (the SFT builder's aggregation shape),
+    one keyed join against the scores table, then build_preference_pairs'
+    single-exchange rank/pair machinery on hash(prompt_md5). Output
+    carries prompt_md5 + chosen/rejected conv ids, scores, and response
+    digests, bounded at k² per prompt like the base builder.
+    """
+    order = [F.col(c) for c in order_cols]
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    role = F.coalesce(F.col(role_col), F.lit(""))
+    rendered = F.concat(
+        F.lit("<|"), role, F.lit("|>\n"), text, F.lit("<|end|>\n")
+    )
+
+    w_all = Window.partitionBy(key_col)
+    t = (
+        turns.select(
+            key_col,
+            *order_cols,
+            role.alias("_role"),
+            rendered.alias("_rendered"),
+        )
+        .withColumn(
+            "_last",
+            F.max(F.struct(*order)).over(w_all),
+        )
+        .withColumn("_is_last", F.struct(*order) == F.col("_last"))
+    )
+    ordered = F.array_sort(
+        F.collect_list(
+            F.when(
+                ~F.col("_is_last"),
+                F.struct(*order, F.col("_rendered")),
+            )
+        )
+    )
+    conv = t.groupBy(key_col).agg(
+        F.md5(
+            F.concat_ws("", F.transform(ordered, lambda x: x["_rendered"]))
+        ).alias("prompt_md5"),
+        F.max(F.when(F.col("_is_last"), F.col("_role"))).alias("_last_role"),
+        F.md5(F.max(F.when(F.col("_is_last"), F.col("_rendered")))).alias(
+            "response_md5"
+        ),
+    ).filter(F.col("_last_role") == response_role)
+
+    cand = conv.join(
+        scores.select(
+            F.col(key_col).alias("_skey"), F.col(score_col).alias("_score")
+        ),
+        conv[key_col] == F.col("_skey"),
+        "inner",
+    ).select(key_col, "prompt_md5", "response_md5", "_score")
+
+    pairs = build_preference_pairs(
+        cand, ["prompt_md5"], key_col, "_score", k=k, margin=margin
+    )
+    # re-attach the response digests for both sides (equi-joins on the
+    # conv key against the same bounded conv table)
+    c_d = cand.select(
+        F.col(key_col).alias("chosen_id"),
+        F.col("response_md5").alias("chosen_response_md5"),
+    )
+    r_d = cand.select(
+        F.col(key_col).alias("rejected_id"),
+        F.col("response_md5").alias("rejected_response_md5"),
+    )
+    return pairs.join(c_d, ["chosen_id"]).join(r_d, ["rejected_id"]).select(
+        "prompt_md5",
+        "chosen_id",
+        "chosen_score",
+        "chosen_response_md5",
+        "rejected_id",
+        "rejected_score",
+        "rejected_response_md5",
+        "score_gap",
+    )

@@ -106,3 +106,59 @@ def test_one_exchange_plan(spark, resp):
     assert n_exchange - n_reused <= 1, plan
     # the join must be an equi-join on the prompt key, never a cross join
     assert "CartesianProduct" not in plan, plan
+
+
+def test_conversation_preference_pairs(spark):
+    """Conversations sharing a rendered prompt prefix pair their final
+    assistant responses by per-conversation score; prefix identity is
+    byte-level (roles included), last-turn-not-assistant convs drop."""
+    from fluent_server_spark.operators.preference import (
+        conversation_preference_pairs,
+    )
+
+    turns = []
+    # group A: three samples of the same 2-turn prompt, different answers
+    for cid, answer in [("a1", "red"), ("a2", "blue"), ("a3", "green")]:
+        turns += [
+            (cid, 0, "user", "what color?"),
+            (cid, 1, "assistant", "hmm"),
+            (cid, 2, "user", "pick one"),
+            (cid, 3, "assistant", answer),
+        ]
+    # group B: same USER texts as A but a different role in the prefix ->
+    # different prompt key (byte-level identity)
+    for cid, answer in [("b1", "seven"), ("b2", "nine")]:
+        turns += [
+            (cid, 0, "user", "what color?"),
+            (cid, 1, "system", "hmm"),
+            (cid, 2, "user", "pick one"),
+            (cid, 3, "assistant", answer),
+        ]
+    # ends on a user turn -> dropped; unique prefix -> singleton, no pair
+    turns += [("c1", 0, "user", "q"), ("c1", 1, "user", "??")]
+    turns += [("d1", 0, "user", "solo"), ("d1", 1, "assistant", "ok")]
+
+    tdf = spark.createDataFrame(
+        turns, "conv_id string, turn_idx int, role string, text string"
+    )
+    scores = spark.createDataFrame(
+        [("a1", 3.0), ("a2", 2.0), ("a3", 1.0), ("b1", 5.0), ("b2", 6.0),
+         ("c1", 9.0), ("d1", 9.0)],
+        "conv_id string, score double",
+    )
+    rows = conversation_preference_pairs(tdf, scores, k=1).collect()
+    got = {(r["chosen_id"], r["rejected_id"]) for r in rows}
+    assert got == {("a1", "a3"), ("b2", "b1")}
+    by_chosen = {r["chosen_id"]: r for r in rows}
+    # groups A and B have DIFFERENT prompt keys despite equal user text
+    assert by_chosen["a1"]["prompt_md5"] != by_chosen["b2"]["prompt_md5"]
+    assert by_chosen["a1"]["score_gap"] == pytest.approx(2.0)
+    # response digests differ within a pair (different final answers)
+    for r in rows:
+        assert r["chosen_response_md5"] != r["rejected_response_md5"]
+    # k=2 on group A adds the middle pairings with positive gaps
+    got2 = {
+        (r["chosen_id"], r["rejected_id"])
+        for r in conversation_preference_pairs(tdf, scores, k=2).collect()
+    }
+    assert got2 == {("a1", "a3"), ("a1", "a2"), ("a2", "a3"), ("b2", "b1")}

@@ -386,3 +386,88 @@ def test_cms_estimate_dominates_truth_property(spark, a, b):
     }
     for k, t in truth.items():
         assert est[k] >= t, (k, est[k], t)
+
+
+# ------------------------------------------------------ preference pairs
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),                      # prompt group
+            st.integers(0, 10**6),                  # response id
+            st.floats(-100, 100, allow_nan=False),  # score (ties likely
+        ),                                          # via small int part)
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[1],
+    ),
+    st.integers(1, 4),
+    st.floats(0, 5, allow_nan=False),
+)
+def test_preference_pairs_match_python_oracle(spark, rows, k, margin):
+    from fluent_server_spark.operators.preference import build_preference_pairs
+
+    df = spark.createDataFrame(rows, "p int, rid long, score double")
+    got = {
+        (r["p"], r["chosen_id"], r["rejected_id"])
+        for r in build_preference_pairs(
+            df, ["p"], "rid", "score", k=k, margin=margin
+        ).collect()
+    }
+    want = set()
+    by_p: dict = {}
+    for p, rid, s in rows:
+        by_p.setdefault(p, []).append((rid, s))
+    for p, cands in by_p.items():
+        ranked = sorted(cands, key=lambda x: (-x[1], x[0]))
+        n = len(ranked)
+        for ci in range(min(k, n)):
+            for ri in range(max(n - k, 0), n):
+                if ci < ri and ranked[ci][1] - ranked[ri][1] > margin:
+                    want.add((p, ranked[ci][0], ranked[ri][0]))
+    assert got == want
+
+
+# --------------------------------------------------- cluster-safe splits
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 200), st.integers(0, 200)),
+        min_size=0,
+        max_size=80,
+    ),
+    st.floats(0.05, 0.95),
+)
+def test_cluster_splits_never_leak_on_random_graphs(spark, edges, w_eval):
+    """For ANY random near-dup graph: connected components + the split
+    assigner put every edge's endpoints in the same split."""
+    from pyspark.sql import functions as F
+
+    from fluent_server_spark.operators.dedup import connected_components
+    from fluent_server_spark.operators.sampling import cluster_safe_splits
+
+    docs = spark.range(201).withColumnRenamed("id", "doc_id")
+    if edges:
+        pdf = spark.createDataFrame(
+            [(a, b) for a, b in edges], "a_id long, b_id long"
+        ).filter(F.col("a_id") != F.col("b_id"))
+        clusters = connected_components(pdf).select(
+            F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+        )
+    else:
+        clusters = spark.createDataFrame(
+            [], "doc_id long, cluster_id long"
+        )
+    out = cluster_safe_splits(
+        docs, clusters, "doc_id",
+        {"train": 1.0 - w_eval, "eval": w_eval}, salt="prop",
+    )
+    split_of = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(split_of) == 201
+    for a, b in edges:
+        if a != b:
+            assert split_of[a] == split_of[b], (a, b)
