@@ -56,7 +56,10 @@ def _ranked(
         F.col("_score").desc(), F.col("_id").asc()
     )
     w_all = Window.partitionBy(*prompt_cols)
-    return responses.select(
+    # a NULL-scored candidate can never form a pair (its gap is NULL and
+    # fails any margin test) but WOULD consume a top/bottom-k slot and
+    # mask real pairs — unscored rows are not candidates at all
+    return responses.filter(F.col(score_col).isNotNull()).select(
         *prompt_cols,
         F.col(id_col).alias("_id"),
         F.col(score_col).alias("_score"),

@@ -576,7 +576,7 @@ WITH r AS (
          row_number() OVER (PARTITION BY user_id, event_type
                             ORDER BY value DESC, event_id ASC) AS rnk,
          count(*) OVER (PARTITION BY user_id, event_type) AS n
-  FROM events)
+  FROM events WHERE value IS NOT NULL)
 SELECT c.user_id, c.event_type,
        c.event_id AS chosen_id, c.value AS chosen_score,
        x.event_id AS rejected_id, x.value AS rejected_score,
@@ -610,7 +610,7 @@ WITH r AS (
          row_number() OVER (PARTITION BY user_id, event_type
                             ORDER BY value DESC, event_id ASC) AS rnk,
          count(*) OVER (PARTITION BY user_id, event_type) AS n
-  FROM events)
+  FROM events WHERE value IS NOT NULL)
 SELECT user_id, event_type, event_id AS best_id, value AS best_score,
        n AS n_candidates
 FROM r WHERE rnk = 1 AND n >= 2

@@ -162,3 +162,20 @@ def test_conversation_preference_pairs(spark):
         for r in conversation_preference_pairs(tdf, scores, k=2).collect()
     }
     assert got2 == {("a1", "a3"), ("a1", "a2"), ("a2", "a3"), ("b2", "b1")}
+
+
+def test_null_scores_are_not_candidates(spark):
+    """A NULL-scored row must not consume a top/bottom-k slot: with
+    NULLs ranked, ('p', 1, 2) would be masked by the NULL row sitting
+    in the bottom-1 position."""
+    df = spark.createDataFrame(
+        [("p", 1, 5.0), ("p", 2, 1.0), ("p", 3, None)],
+        "prompt string, rid int, score double",
+    )
+    got = {
+        (r["chosen_id"], r["rejected_id"])
+        for r in build_preference_pairs(df, ["prompt"], "rid", "score").collect()
+    }
+    assert got == {(1, 2)}
+    bon = best_of_n(df, ["prompt"], "rid", "score").collect()[0]
+    assert bon["best_id"] == 1 and bon["n_candidates"] == 2
