@@ -740,3 +740,67 @@ FROM h
 SKETCH_QUERIES["cluster_safe_splits"] = QuerySpec(
     q_cluster_safe_splits, _sql_cluster_safe_splits()
 )
+
+
+# ------------------------------------------------ corpus drift (r5)
+
+
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket JS drift between the even- and odd-doc_id halves of
+    the documents table (operators/drift.py over the DSIR featurizer);
+    every row is a pure function of two integer count tables, so the
+    whole featurize -> join -> divergence path replays in DuckDB."""
+    from pyspark.sql import functions as F
+
+    from fluent_server_spark.operators.drift import corpus_drift
+    from fluent_server_spark.queries import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return corpus_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        n_buckets=DSIR_B,
+    )
+
+
+SQL_CORPUS_DRIFT = f"""
+WITH ws_tbl AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
+                     w -> w <> '') AS ws
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(ws || CASE WHEN len(ws) >= 2
+           THEN list_transform(range(1, len(ws)),
+                               i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1])
+           ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM ws_tbl),
+gb AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5('dsir:' || gram), 1, 15) AS BIGINT)
+              % {DSIR_B} AS INTEGER) AS bucket
+  FROM grams),
+oc AS (SELECT bucket, count(*) AS cnt FROM gb WHERE doc_id % 2 = 0 GROUP BY bucket),
+nc AS (SELECT bucket, count(*) AS cnt FROM gb WHERE doc_id % 2 = 1 GROUP BY bucket),
+j AS (
+  SELECT coalesce(o.bucket, n.bucket) AS bucket,
+         CAST(coalesce(o.cnt, 0) AS BIGINT) AS old_cnt,
+         CAST(coalesce(n.cnt, 0) AS BIGINT) AS new_cnt
+  FROM oc o FULL JOIN nc n ON o.bucket = n.bucket),
+tot AS (SELECT CAST(sum(old_cnt) AS DOUBLE) AS ot,
+               CAST(sum(new_cnt) AS DOUBLE) AS nt FROM j)
+SELECT bucket, old_cnt, new_cnt,
+       round((CASE WHEN old_cnt > 0
+                THEN (old_cnt / ot) * ln((old_cnt / ot)
+                     / (((old_cnt / ot) + (new_cnt / nt)) / 2))
+                ELSE 0 END
+            + CASE WHEN new_cnt > 0
+                THEN (new_cnt / nt) * ln((new_cnt / nt)
+                     / (((old_cnt / ot) + (new_cnt / nt)) / 2))
+                ELSE 0 END) / 2, 10) AS js_contrib
+FROM j, tot
+"""
+
+
+SKETCH_QUERIES["corpus_drift"] = QuerySpec(q_corpus_drift, SQL_CORPUS_DRIFT)

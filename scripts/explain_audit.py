@@ -617,6 +617,19 @@ def _extra_plans():
             ["CartesianProduct", "EvalPython", "Window",
              "Exchange rangepartitioning"],
         ),
+        # r5 corpus drift: the corpus-sized work is the two featurize
+        # scans (Generate + map-side-combined agg, the DSIR shape); the
+        # divergence itself joins two <=B-row tables + a broadcast
+        # one-row totals cross join — no window, no Python
+        "corpus_drift (diff)": (
+            lambda spark: __import__(
+                "fluent_server_spark.queries.sketch_oracles",
+                fromlist=["q_corpus_drift"],
+            ).q_corpus_drift(spark, SF),
+            ["Generate", "HashAggregate", "BroadcastNestedLoopJoin"],
+            ["CartesianProduct", "EvalPython", "Window",
+             "Exchange rangepartitioning"],
+        ),
         # r5 best-of-n selection: the same single-exchange rank window,
         # then a plain filter — no join at all
         "best_of_n (select)": (
