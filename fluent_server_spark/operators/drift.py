@@ -155,3 +155,67 @@ def source_drift(
             F.col("new_n") / F.col("_nt") - F.col("old_n") / F.col("_ot"), 10
         ).alias("share_delta"),
     )
+
+
+def adjacent_epoch_drift(
+    counts: DataFrame,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Per-epoch drift alarms over a (epoch, bucket, cnt) history — the
+    table the streaming sketch maintenance writes one partition of per
+    micro-batch (streaming/sketch_stream.py, gram tables): each epoch's
+    distribution vs the PREVIOUS epoch's, all pairs in ONE plan (no
+    driver loop over epochs): shift the old side by +1 epoch, full-outer
+    join on (epoch, bucket), restrict to epochs where both sides exist,
+    normalize by per-epoch totals, aggregate JS/L1/support deltas.
+
+    Output: one row per epoch from the second onward —
+    (epoch, jsd, l1, buckets_gained, buckets_lost) against epoch-1.
+    Floats are sums over buckets: monitoring material (threshold and
+    alert), same caveat as :func:`drift_summary`; the row-level
+    contributions underneath are exact per the same argument as
+    :func:`distribution_drift`.
+
+    Scale: the history table has ≤B rows per epoch; everything here is
+    joins/aggs over it, never over the corpus."""
+    e = F.col(epoch_col).cast("bigint")
+    o = counts.select(
+        (e + 1).alias("_e"), "bucket", F.col("cnt").alias("_oc")
+    )
+    n = counts.select(e.alias("_e"), "bucket", F.col("cnt").alias("_nc"))
+    # epochs where BOTH a previous and a current distribution exist
+    valid = o.select("_e").distinct().join(
+        n.select("_e").distinct(), ["_e"], "inner"
+    )
+    j = (
+        o.join(n, ["_e", "bucket"], "full_outer")
+        .join(F.broadcast(valid), ["_e"], "left_semi")
+        .select(
+            "_e",
+            "bucket",
+            F.coalesce("_oc", F.lit(0)).alias("old_cnt"),
+            F.coalesce("_nc", F.lit(0)).alias("new_cnt"),
+        )
+    )
+    totals = j.groupBy("_e").agg(
+        F.sum("old_cnt").alias("_ot"), F.sum("new_cnt").alias("_nt")
+    )
+    jt = j.join(F.broadcast(totals), ["_e"])
+    p = F.col("old_cnt") / F.col("_ot")
+    q = F.col("new_cnt") / F.col("_nt")
+    m = (p + q) / 2
+    term = lambda x: F.when(x > 0, x * F.log(x / m)).otherwise(F.lit(0.0))  # noqa: E731
+    return (
+        jt.withColumn("_js", (term(p) + term(q)) / 2)
+        .groupBy(F.col("_e").alias(epoch_col))
+        .agg(
+            F.sum("_js").alias("jsd"),
+            F.sum(F.abs(p - q)).alias("l1"),
+            F.sum(
+                ((F.col("old_cnt") == 0) & (F.col("new_cnt") > 0)).cast("long")
+            ).alias("buckets_gained"),
+            F.sum(
+                ((F.col("old_cnt") > 0) & (F.col("new_cnt") == 0)).cast("long")
+            ).alias("buckets_lost"),
+        )
+    )

@@ -47,10 +47,15 @@ def stream_sketches(
     width: int = 1024,
     p: int = 12,
     max_files_per_trigger: int = 4,
+    text_col: str | None = None,
+    gram_buckets: int = 4096,
 ):
     """Start the sketch-maintenance stream; returns the StreamingQuery
     (caller stops it). Writes per-epoch CMS + HLL sketch tables of
-    `key_col` under output_dir."""
+    `key_col` under output_dir; with `text_col`, additionally writes
+    per-epoch gram-bucket distributions (operators/dsir.py featurizer)
+    — the drift-monitoring history `adjacent_epoch_drift` consumes, at
+    the same exactly-once epoch-dir contract."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -64,6 +69,15 @@ def stream_sketches(
         hll_build(batch_df, key_col, p=p).write.mode("overwrite").parquet(
             f"{output_dir}/hll/epoch={epoch_id}"
         )
+        if text_col is not None:
+            from fluent_server_spark.operators.dsir import gram_bucket_counts
+
+            gram_bucket_counts(
+                batch_df, id_col=key_col, text_col=text_col,
+                n_buckets=gram_buckets,
+            ).write.mode("overwrite").parquet(
+                f"{output_dir}/gram/epoch={epoch_id}"
+            )
 
     return (
         stream.writeStream.foreachBatch(sketch_epoch)
@@ -87,3 +101,15 @@ def read_merged_hll(spark: SparkSession, output_dir: str) -> DataFrame:
         "register", "max_rank"
     )
     return hll_merge(per_epoch)
+
+
+def read_epoch_drift(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Per-epoch drift alarms off the gram history the stream wrote:
+    (epoch, jsd, l1, buckets_gained, buckets_lost) vs the previous
+    epoch, one plan over the ≤B-rows-per-epoch history table."""
+    from fluent_server_spark.operators.drift import adjacent_epoch_drift
+
+    hist = spark.read.parquet(f"{output_dir}/gram").select(
+        "epoch", "bucket", "cnt"
+    )
+    return adjacent_epoch_drift(hist)

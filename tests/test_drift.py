@@ -100,3 +100,92 @@ def test_source_drift_shares(spark):
     assert rows["a"]["share_delta"] == pytest.approx(-0.4)
     assert rows["b"]["share_delta"] == pytest.approx(0.3)
     assert rows["c"]["old_n"] == 0 and rows["c"]["new_share"] == pytest.approx(0.1)
+
+
+def test_adjacent_epoch_drift_matches_pairwise_summary(spark):
+    """One-plan adjacent-epoch drift equals drift_summary run pairwise,
+    and the first epoch (no predecessor) emits no row."""
+    hist = [
+        # epoch 0
+        (0, 1, 10), (0, 2, 30), (0, 3, 60),
+        # epoch 1: shifted
+        (1, 2, 25), (1, 3, 50), (1, 4, 25),
+        # epoch 2: identical to epoch 1 but scaled
+        (2, 2, 50), (2, 3, 100), (2, 4, 50),
+    ]
+    counts = spark.createDataFrame(hist, "epoch int, bucket int, cnt long")
+    from fluent_server_spark.operators.drift import adjacent_epoch_drift
+
+    got = {r["epoch"]: r for r in adjacent_epoch_drift(counts).collect()}
+    assert set(got) == {1, 2}
+    for e in (1, 2):
+        old = _counts(spark, [(b, c) for ep, b, c in hist if ep == e - 1])
+        new = _counts(spark, [(b, c) for ep, b, c in hist if ep == e])
+        want = drift_summary(old, new).collect()[0]
+        for f in ("jsd", "l1"):
+            assert got[e][f] == pytest.approx(want[f], abs=1e-9), (e, f)
+        for f in ("buckets_gained", "buckets_lost"):
+            assert got[e][f] == want[f], (e, f)
+    assert got[2]["jsd"] == pytest.approx(0.0, abs=1e-12)  # scale-invariant
+
+
+def test_streaming_epoch_drift(spark, tmp_path):
+    """The sketch stream's gram history feeds the drift monitor: three
+    single-file epochs -> two drift rows, each equal to the batch
+    drift_summary over the same file pair."""
+    from pyspark.sql import functions as F
+
+    from fluent_server_spark.operators.dsir import gram_bucket_counts
+    from fluent_server_spark.streaming.sketch_stream import (
+        read_epoch_drift,
+        stream_sketches,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    texts = [
+        "alpha beta gamma delta " * 5,
+        "alpha beta epsilon zeta " * 5,
+        "eta theta iota kappa " * 5,
+    ]
+    batches = []
+    for i, t in enumerate(texts):
+        b = spark.range(20).select(
+            F.concat(F.lit(f"c{i}-"), F.col("id")).alias("conv_id"),
+            F.col("id").cast("int").alias("turn_idx"),
+            F.lit(t).alias("event_type"),
+        )
+        # one FILE per batch so maxFilesPerTrigger=1 makes one epoch each
+        b.coalesce(1).write.parquet(f"{src}/part{i}")
+        batches.append(b)
+
+    q = stream_sketches(
+        spark, f"{src}/part*", out, ck, "conv_id",
+        max_files_per_trigger=1, text_col="event_type", gram_buckets=4096,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = adjacent = read_epoch_drift(spark, out).collect()
+    assert len(rows) == 2
+    got = sorted((r["jsd"] for r in adjacent))
+    # batch twin: pairwise drift over the same gram tables, matched as a
+    # SET of jsd values (epoch ids depend on file pickup order)
+    def gc(b):
+        return gram_bucket_counts(
+            b, id_col="conv_id", text_col="event_type", n_buckets=4096
+        )
+
+    want = sorted(
+        drift_summary(gc(a), gc(b)).collect()[0]["jsd"]
+        for a, b in [(batches[0], batches[1]), (batches[1], batches[2])]
+    )
+    # the two transitions have distinct drifts (partial vs total shift);
+    # whatever order the stream picked the files up in, the multiset of
+    # adjacent drifts can only match if the order was the written one OR
+    # a reversal (symmetric JSD makes reversal equal) — both acceptable
+    for g, w in zip(got, want):
+        assert g == pytest.approx(w, abs=1e-9)
