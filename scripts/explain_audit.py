@@ -630,6 +630,48 @@ def _extra_plans():
             ["CartesianProduct", "EvalPython", "Window",
              "Exchange rangepartitioning"],
         ),
+        # r5 transcript-native preference pairing: one conv-key fold
+        # (window + collect agg) to (prompt_md5, response) rows, a keyed
+        # join against the scores table, then the pair builder's rank
+        # window + self-join — equi-joins only, no Python anywhere
+        "conversation_preference_pairs (build)": (
+            lambda spark: (lambda pref: pref.conversation_preference_pairs(
+                load_table(spark, SF, "events").select(
+                    F.col("user_id").alias("conv_id"),
+                    F.col("event_id").alias("turn_idx"),
+                    F.col("event_type").alias("role"),
+                    F.coalesce("props", F.lit("")).alias("text"),
+                ),
+                load_table(spark, SF, "events").groupBy(
+                    F.col("user_id").alias("conv_id")
+                ).agg(F.max("value").alias("score")),
+                k=2,
+                response_role="purchase",
+            ))(__import__("fluent_server_spark.operators.preference",
+                          fromlist=["conversation_preference_pairs"])),
+            ["Window", "ObjectHashAggregate|HashAggregate",
+             "Exchange hashpartitioning",
+             "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+            ["CartesianProduct", "EvalPython", "Exchange rangepartitioning",
+             "BroadcastNestedLoopJoin"],
+        ),
+        # r5 adjacent-epoch drift: shift-join over the <=B-rows-per-epoch
+        # history + broadcast totals — joins and aggs only, one plan for
+        # ALL epoch pairs (no driver loop), no window, no Python
+        "adjacent_epoch_drift (monitor)": (
+            lambda spark: (lambda dr, ds: dr.adjacent_epoch_drift(
+                ds.gram_bucket_counts(docs(spark), n_buckets=4096)
+                .withColumn("epoch", (F.col("bucket") % 3))
+            ))(
+                __import__("fluent_server_spark.operators.drift",
+                           fromlist=["adjacent_epoch_drift"]),
+                __import__("fluent_server_spark.operators.dsir",
+                           fromlist=["gram_bucket_counts"]),
+            ),
+            ["HashAggregate", "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+            ["CartesianProduct", "EvalPython", "Window",
+             "Exchange rangepartitioning"],
+        ),
         # r5 best-of-n selection: the same single-exchange rank window,
         # then a plain filter — no join at all
         "best_of_n (select)": (
