@@ -546,16 +546,44 @@ def _run_sft(args) -> int:
     keep = qc.filter(pred).select("conv_id")
     gated = turns.join(keep, ["conv_id"], "left_semi")
 
-    build_sft_examples(
-        gated, args.sft_max_chars, include_text=True
-    ).write.mode("overwrite").parquet(f"{args.sft}/examples")
-    ex = spark.read.parquet(f"{args.sft}/examples")
-    row = ex.agg(
-        F.count(F.lit(1)).alias("n_examples"),
-        F.sum("example_chars").alias("total_chars"),
-        F.sum("mask_chars").alias("mask_chars"),
-        F.count_distinct("conv_id").alias("n_convs"),
-    ).collect()[0]
+    if args.sft_tokens:
+        # token-budget variant: BPE trained on the GATED transcripts'
+        # text only (the same no-leakage contract as --pack-pretrain's
+        # train-split-only vocabulary), merges persisted for
+        # reproducible re-tokenization, budgets/mask spans in tokens
+        from fluent_server_spark.operators.bpe import bpe_train
+        from fluent_server_spark.operators.sft import build_sft_examples_tokens
+
+        merges = bpe_train(
+            gated.select(F.col("conv_id").alias("doc_id"), "text"),
+            args.pack_merges,
+        )
+        merges.write.mode("overwrite").parquet(f"{args.sft}/bpe_merges")
+        build_sft_examples_tokens(
+            gated,
+            spark.read.parquet(f"{args.sft}/bpe_merges"),
+            args.sft_tokens,
+        ).write.mode("overwrite").parquet(f"{args.sft}/examples")
+        ex = spark.read.parquet(f"{args.sft}/examples")
+        row = ex.agg(
+            F.count(F.lit(1)).alias("n_examples"),
+            F.sum("example_tokens").alias("total_units"),
+            F.sum("mask_tokens").alias("mask_units"),
+            F.count_distinct("conv_id").alias("n_convs"),
+        ).collect()[0]
+        unit = "tokens"
+    else:
+        build_sft_examples(
+            gated, args.sft_max_chars, include_text=True
+        ).write.mode("overwrite").parquet(f"{args.sft}/examples")
+        ex = spark.read.parquet(f"{args.sft}/examples")
+        row = ex.agg(
+            F.count(F.lit(1)).alias("n_examples"),
+            F.sum("example_chars").alias("total_units"),
+            F.sum("mask_chars").alias("mask_units"),
+            F.count_distinct("conv_id").alias("n_convs"),
+        ).collect()[0]
+        unit = "chars"
     manifest = {
         "input": {"n_turns": n_turns_in, "n_convs": qc.count()},
         "gate": {"flags": flags, "n_convs_pass": keep.count(),
@@ -563,10 +591,16 @@ def _run_sft(args) -> int:
         "examples": {
             "n_examples": row["n_examples"],
             "n_convs": row["n_convs"],
-            "total_chars": row["total_chars"] or 0,
-            "mask_chars": row["mask_chars"] or 0,
+            "unit": unit,
+            f"total_{unit}": row["total_units"] or 0,
+            f"mask_{unit}": row["mask_units"] or 0,
         },
-        "params": {"max_chars": args.sft_max_chars, "strict": args.sft_strict},
+        "params": {
+            "max_chars": args.sft_max_chars,
+            "tokens": args.sft_tokens,
+            "n_merges": args.pack_merges if args.sft_tokens else None,
+            "strict": args.sft_strict,
+        },
     }
     with open(f"{args.sft}/manifest.json", "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
@@ -770,6 +804,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--sft-max-chars", type=int, default=2048,
                     help="example budget for --sft (greedy turn-boundary "
                          "packing)")
+    ap.add_argument("--sft-tokens", type=int, default=None,
+                    help="--sft in TOKEN units: train BPE on the gated "
+                         "transcripts (--pack-merges merges, persisted), "
+                         "budget/mask examples at this many tokens")
     ap.add_argument("--sft-strict", action="store_true",
                     help="--sft gates on the full qc_ok conjunction "
                          "(incl. strict role alternation and "

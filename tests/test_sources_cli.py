@@ -313,3 +313,38 @@ def test_cli_sft_end_to_end(spark, tmp_path, capsys):
     qc = spark.read.parquet(f"{out_dir}/qc")
     assert qc.count() == 120
     assert qc.filter(F.col("qc_ok").isNull()).count() == 0
+
+
+def test_cli_sft_tokens_mode(spark, tmp_path, capsys):
+    """--sft-tokens switches the budget/mask units to tokens under a
+    BPE trained on the gated transcripts, merges persisted; counts
+    equal the in-process composition under the SAME persisted merges."""
+    from fluent_server_spark.data.synth import synth_turns_pandas
+    from fluent_server_spark.operators.sft import build_sft_examples_tokens
+    from fluent_server_spark.operators.transcript_qc import gate_transcripts
+
+    turns_pq = str(tmp_path / "turns.parquet")
+    spark.createDataFrame(synth_turns_pandas(1500, n_convs=60)).write.mode(
+        "overwrite"
+    ).parquet(turns_pq)
+    out_dir = str(tmp_path / "sft_tok")
+    rc = cli_main(["--sft", out_dir, "--input", turns_pq,
+                   "--sft-tokens", "128", "--pack-merges", "16"])
+    assert rc == 0
+    man = json.loads((tmp_path / "sft_tok" / "manifest.json").read_text())
+    assert man["examples"]["unit"] == "tokens"
+    assert 0 < man["examples"]["mask_tokens"] < man["examples"]["total_tokens"]
+    assert man["params"]["tokens"] == 128 and man["params"]["n_merges"] == 16
+
+    gated = gate_transcripts(
+        spark.read.parquet(turns_pq),
+        flags=["ends_with_assistant", "no_empty_assistant", "idx_contiguous"],
+    )
+    want = build_sft_examples_tokens(
+        gated, spark.read.parquet(f"{out_dir}/bpe_merges"), 128
+    )
+    got = spark.read.parquet(f"{out_dir}/examples")
+    assert got.count() == man["examples"]["n_examples"] == want.count()
+    w = {r["example_md5"] for r in want.select("example_md5").collect()}
+    g = {r["example_md5"] for r in got.select("example_md5").collect()}
+    assert w == g
