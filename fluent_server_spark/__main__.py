@@ -519,10 +519,14 @@ def _run_sft(args) -> int:
     tool/system turns, so strict user/assistant alternation is expected
     to fail on them and --sft-strict opts into the full qc_ok
     conjunction instead. The QC verdicts are persisted alongside the
-    examples so the gate is auditable row-for-row. Usage:
+    examples so the gate is auditable row-for-row. With --sft-tokens,
+    budgets/masks switch to TOKEN units under a BPE trained on the
+    gated transcripts only (merges persisted at OUT_DIR/bpe_merges —
+    the --pack-pretrain no-leakage vocabulary contract). Usage:
 
         python -m fluent_server_spark --sft OUT_DIR --input TURNS \
-            [--sft-max-chars 2048] [--sft-strict]
+            [--sft-max-chars 2048 | --sft-tokens SEQ [--pack-merges N]] \
+            [--sft-strict]
     """
     from pyspark.sql import functions as F
 
