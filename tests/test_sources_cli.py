@@ -348,3 +348,29 @@ def test_cli_sft_tokens_mode(spark, tmp_path, capsys):
     w = {r["example_md5"] for r in want.select("example_md5").collect()}
     g = {r["example_md5"] for r in got.select("example_md5").collect()}
     assert w == g
+
+
+def test_cli_sft_fully_rejected_corpus(spark, tmp_path, capsys):
+    """A corpus where NO conversation passes the gate yields rc 0 and a
+    zeroed manifest in both char and token modes (the token mode trains
+    BPE on an empty gated set) — never a crash."""
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [(f"c{i}", 0, "user", "hello", "", ts) for i in range(6)]
+    turns_pq = str(tmp_path / "turns.parquet")
+    spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    ).write.mode("overwrite").parquet(turns_pq)
+
+    for extra, unit in ([], "chars"), (["--sft-tokens", "64"], "tokens"):
+        out_dir = str(tmp_path / f"sft_{unit}")
+        rc = cli_main(["--sft", out_dir, "--input", turns_pq] + extra)
+        assert rc == 0
+        man = json.loads((tmp_path / f"sft_{unit}" / "manifest.json").read_text())
+        assert man["gate"]["n_convs_pass"] == 0
+        assert man["examples"]["n_examples"] == 0
+        assert man["examples"][f"total_{unit}"] == 0
+    capsys.readouterr()
