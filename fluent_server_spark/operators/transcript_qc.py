@@ -129,3 +129,62 @@ def gate_transcripts(
             pred = pred & F.col(f_)
     keep = verdicts.filter(pred).select(key_col)
     return turns.join(keep, [key_col], "left_semi")
+
+
+def render_conversations(
+    turns: DataFrame,
+    key_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fold each conversation to one (key, text) row under the SFT
+    template (``<|role|>\\n`` text ``<|end|>\\n``, turns in order) — the
+    canonical rendering shared by the SFT builder and the prompt-prefix
+    preference pairing, exposed so DOCUMENT-level operators (minhash
+    near-dup, exact dedup, quality scores, drift) apply unchanged to
+    whole transcripts. One hash(conv) exchange, no UDFs."""
+    order = [F.col(c) for c in order_cols]
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    role = F.coalesce(F.col(role_col), F.lit(""))
+    rendered = F.concat(
+        F.lit("<|"), role, F.lit("|>\n"), text, F.lit("<|end|>\n")
+    )
+    t = turns.select(key_col, *order_cols, rendered.alias("_rendered"))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct(*order, F.col("_rendered")))),
+        lambda x: x["_rendered"],
+    )
+    return t.groupBy(key_col).agg(
+        F.concat_ws("", ordered).alias("text")
+    )
+
+
+def conversation_neardup_pairs(
+    turns: DataFrame,
+    key_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    role_col: str = "role",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Conversation-level near-duplicates: render each transcript to one
+    document (role markers included, so the same words under different
+    roles do NOT collide) and run the standard minhash-LSH pair join
+    (operators/dedup.py) over the rendered corpus — the dedup a
+    sampled-transcript SFT corpus needs before training (near-identical
+    conversations re-sampled from the same prompt inflate effective
+    epochs exactly like near-dup documents do).
+
+    Scale: one conv-key fold + the banded LSH equi-join; never
+    conversations × conversations."""
+    from fluent_server_spark.operators.dedup import minhash_lsh_pairs
+
+    rendered = render_conversations(
+        turns, key_col, order_cols, role_col, text_col
+    )
+    return minhash_lsh_pairs(
+        rendered, id_col=key_col, text_col="text",
+        threshold=threshold, **minhash_kwargs,
+    )

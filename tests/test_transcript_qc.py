@@ -121,3 +121,52 @@ def test_gate_flag_subset_and_validation(spark, tdf):
     assert kept == {"c_ok", "c_alt", "c_start"}
     with pytest.raises(ValueError):
         gate_transcripts(tdf, flags=["no_such_flag"]).collect()
+
+
+def test_render_conversations_matches_sft_template(spark, tdf):
+    from fluent_server_spark.operators.transcript_qc import render_conversations
+
+    rows = {r["conv_id"]: r["text"] for r in render_conversations(tdf).collect()}
+    assert rows["c_ok"] == (
+        "<|user|>\nhi<|end|>\n<|assistant|>\nhello<|end|>\n"
+        "<|user|>\nthanks<|end|>\n<|assistant|>\nbye<|end|>\n"
+    )
+    # single-turn conversation renders its one turn
+    assert rows["c_noasst"] == "<|user|>\nanyone?<|end|>\n"
+
+
+def test_conversation_neardup_pairs(spark):
+    """Near-identical sampled transcripts pair; a same-words
+    conversation with different ROLES does not collide with them."""
+    from fluent_server_spark.operators.transcript_qc import (
+        conversation_neardup_pairs,
+    )
+
+    base = "please summarize the quarterly report for the board meeting"
+    resp = "here is the summary of the quarterly report you asked for"
+    turns = []
+    for cid, tail in [("s1", "thanks"), ("s2", "thank you"), ("s3", "thanks")]:
+        turns += [
+            (cid, 0, "user", base),
+            (cid, 1, "assistant", resp),
+            (cid, 2, "user", tail),
+        ]
+    # same words, roles swapped -> different shingles via role markers
+    turns += [
+        ("swap", 0, "assistant", base),
+        ("swap", 1, "user", resp),
+        ("swap", 2, "assistant", "thanks"),
+    ]
+    # unrelated conversation
+    turns += [("z", 0, "user", "completely different topic entirely"),
+              ("z", 1, "assistant", "indeed a different matter")]
+    tdf = spark.createDataFrame(
+        turns, "conv_id string, turn_idx int, role string, text string"
+    )
+    pairs = {
+        tuple(sorted((r["a_id"], r["b_id"])))
+        for r in conversation_neardup_pairs(tdf, threshold=0.5).collect()
+    }
+    assert ("s1", "s3") in pairs  # identical transcripts
+    assert all("z" not in p for p in pairs)
+    assert all("swap" not in p for p in pairs)  # role swap separates
