@@ -834,31 +834,75 @@ def simhash_pairs(
     # two consumers (left/right of the banded self-join): materialize the
     # skinny (id, sim) relation so signatures are computed once
     sig = sig.localCheckpoint(eager=True)
+    # strict=False: simhash_pairs has always accepted max_hamming beyond
+    # the 4-band pigeonhole guarantee as BEST-EFFORT recall (candidates
+    # still must agree on one 16-bit band) — keep that contract
+    return banded_hamming_pairs(
+        sig, id_col=id_col, sig_col="sim", max_hamming=max_hamming, strict=False
+    )
+
+
+def banded_hamming_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sim",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    segment_cols: tuple[str, ...] = (),
+    strict: bool = True,
+) -> DataFrame:
+    """Generic banded hamming self-join over 64-bit signatures →
+    (a_id, b_id, hamming) pairs with hamming <= max_hamming.
+
+    The signature space is split into `n_bands` equal chunks (n_bands
+    must divide 64); by pigeonhole any pair within hamming < n_bands
+    agrees exactly on at least one chunk, so the banded equi-join has
+    100% recall at the signature level — `max_hamming < n_bands` is
+    enforced rather than silently losing pairs. `segment_cols` join
+    additional equality keys (e.g. modality) so pairs never cross
+    segments. Shared kernel for SimHash text near-dup and the
+    perceptual media fingerprints (operators/media_dedup.py); at scale
+    the only shuffle is the (band, chunk) equi-join, never a cross
+    join, and skewed chunks (e.g. the all-zero signature of empty
+    inputs) are the caller's cue to pre-filter degenerate rows."""
+    if 64 % n_bands != 0:
+        raise ValueError(f"n_bands={n_bands} must divide 64")
+    if strict and max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= n_bands={n_bands}: the pigeonhole "
+            "recall guarantee only covers hamming < n_bands — raise n_bands "
+            "(8 bands cover hamming <= 7) instead of silently losing pairs, "
+            "or pass strict=False to accept best-effort recall"
+        )
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    seg = list(segment_cols)
     bands = sig.select(
         id_col,
-        "sim",
+        sig_col,
+        *seg,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("sim"), b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col(sig_col), b * width)
+                        .bitwiseAND(F.lit(mask))
                         .alias("chunk"),
                     )
-                    for b in range(4)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "sim", "bb.band", "bb.chunk")
+    ).select(id_col, sig_col, *seg, "bb.band", "bb.chunk")
     left = bands.select(
-        F.col(id_col).alias("a_id"), F.col("sim").alias("a_sim"), "band", "chunk"
+        F.col(id_col).alias("a_id"), F.col(sig_col).alias("a_sim"), *seg, "band", "chunk"
     )
     right = bands.select(
-        F.col(id_col).alias("b_id"), F.col("sim").alias("b_sim"), "band", "chunk"
+        F.col(id_col).alias("b_id"), F.col(sig_col).alias("b_sim"), *seg, "band", "chunk"
     )
     return (
-        left.join(right, ["band", "chunk"])
+        left.join(right, ["band", "chunk", *seg])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", hamming64(F.col("a_sim"), F.col("b_sim")).alias("hamming"))
         .distinct()

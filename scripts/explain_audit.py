@@ -683,6 +683,38 @@ def _extra_plans():
             ["Join", "CartesianProduct", "Python",
              "Exchange rangepartitioning"],
         ),
+        # perceptual media fingerprint: map-only Arrow UDF over the
+        # binary payload column — no shuffle, no join, no collect
+        "fingerprint_media (signature stage)": (
+            lambda spark: __import__(
+                "fluent_server_spark.operators.media_dedup",
+                fromlist=["fingerprint_media"],
+            ).fingerprint_media(
+                __import__(
+                    "fluent_server_spark.operators.multimodal",
+                    fromlist=["synth_real_media_df"],
+                ).synth_real_media_df(spark, 60)
+            ),
+            ["ArrowEvalPython"],
+            ["Exchange", "Join", "CartesianProduct"],
+        ),
+        # media near-dup pairs: banded (band, chunk, modality) EQUI-join
+        # over the checkpointed signature relation — the SimHash kernel
+        # reused; never a cross join
+        "media_neardup_pairs (banded join)": (
+            lambda spark: __import__(
+                "fluent_server_spark.operators.media_dedup",
+                fromlist=["media_neardup_pairs"],
+            ).media_neardup_pairs(
+                __import__(
+                    "fluent_server_spark.operators.multimodal",
+                    fromlist=["synth_real_media_df"],
+                ).synth_real_media_df(spark, 60)
+            ),
+            ["SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+             "HashAggregate"],
+            ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        ),
     }
 
 
