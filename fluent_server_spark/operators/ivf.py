@@ -96,6 +96,47 @@ def assign_cells(
     return vectors.withColumn(out, cell)
 
 
+def _nearest_cells(
+    queries: DataFrame,
+    cent: DataFrame,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(query_id, q_vec, cell): the nprobe nearest cells per query.
+    Query set and centroid table are both broadcast — the cross join is
+    bounded at n_queries x k rows and never touches the corpus."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    qc = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("_d2", _sq_dist(F.col("q_vec"), F.col("centroid")))
+    )
+    wq = Window.partitionBy("query_id").orderBy("_d2", "cell")
+    return (
+        qc.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "q_vec", "cell")
+    )
+
+
+def _score_probed(probes: DataFrame, indexed: DataFrame, k: int) -> DataFrame:
+    """Exact cosine within probed cells (equi-join on cell), top-k per
+    query. Shared by the inline and the index-backed search paths so
+    they stay bit-identical by construction."""
+    scored = (
+        probes.join(indexed, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "neighbor_id", F.round("cos", 6).alias("cos"))
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -113,27 +154,156 @@ def ivf_topk(
     indexed = assign_cells(corpus, centroids, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cell"
     )
-    # nprobe nearest cells per query (query set is the broadcast side)
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    qc = (
-        F.broadcast(q)
-        .crossJoin(F.broadcast(cent))
-        .withColumn("_d2", _sq_dist(F.col("q_vec"), F.col("centroid")))
+    probes = _nearest_cells(queries, cent, nprobe, id_col, vec_col)
+    return _score_probed(probes, indexed, k)
+
+
+# --------------------------------------------- persisted IVF index
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the inverted-file layout — the artifact a served ANN
+    deployment probes without ever rescanning the corpus (the vector
+    counterpart of write_bm25_index / write_minhash_index):
+
+    * `{path}/vectors` — (id, embedding) PARTITIONED BY `cell`: the
+      inverted lists ARE the partition dirs, so a probe that touches
+      `nprobe` cells reads only those directories (static partition
+      pruning — asserted empirically in tests via inputFiles()).
+    * `{path}/centroids` — the k x dim routing table (tiny).
+    * `{path}/index.json` — k, dim, column names, validated at read
+      time so an index built with different geometry can never
+      silently join.
+
+    Build is ONE narrow assignment pass over the corpus plus the
+    partitioned write's shuffle on cell. Vectors whose dimension
+    disagrees with the centroids are rejected loudly up front —
+    assign_cells would otherwise give them a NULL-ish cell silently.
+    """
+    import json
+    import os
+
+    spark = corpus.sparkSession
+    dim = len(centroids[0])
+    if any(len(c) != dim for c in centroids):
+        raise ValueError("centroids are ragged: all must share one dimension")
+    bad = corpus.filter(F.size(F.col(vec_col)) != dim).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"corpus contains vectors whose dimension != centroid dim {dim} "
+            "— refusing to build an index that would silently mis-route them"
+        )
+    indexed = assign_cells(corpus, centroids, vec_col).select(id_col, vec_col, "cell")
+    indexed.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/vectors")
+    _centroid_df(spark, centroids).write.mode("overwrite").parquet(f"{path}/centroids")
+    manifest = {
+        "k": len(centroids),
+        "dim": dim,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "format": 1,
+    }
+    with open(os.path.join(path, "index.json"), "w") as f:
+        json.dump(manifest, f)
+
+
+def read_ivf_manifest(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "index.json")) as f:
+        return json.load(f)
+
+
+def read_ivf_centroids(spark, path: str) -> list[list[float]]:
+    """Stored centroids as literals, ordered by cell. The collect is
+    bounded at k rows — the same small table every probe broadcasts."""
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    return [[float(x) for x in r.centroid] for r in rows]
+
+
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    epoch: int,
+) -> None:
+    """Incremental index growth: assign the new batch with the STORED
+    centroids (never retrained mid-index — retraining moves cell
+    boundaries and would strand earlier epochs on stale routing) and
+    write it under `{path}/increments/epoch={epoch}`, whole-epoch
+    overwrite so a crashed-and-replayed ingest epoch is idempotent.
+    The base index is never rewritten; LSM-style folding (rewrite base
+    + drop increments) is a compaction the caller schedules. Duplicate
+    ids ACROSS epochs are the caller's contract, exactly as in the
+    BM25 epoch merge."""
+    man = read_ivf_manifest(path)
+    spark = new_vectors.sparkSession
+    vec_col, id_col, dim = man["vec_col"], man["id_col"], man["dim"]
+    bad = new_vectors.filter(F.size(F.col(vec_col)) != dim).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"append batch contains vectors whose dimension != index dim {dim}"
+        )
+    centroids = read_ivf_centroids(spark, path)
+    if len(centroids) != man["k"]:
+        raise ValueError(
+            f"stored centroids ({len(centroids)}) disagree with manifest k="
+            f"{man['k']} — index is corrupt, refusing to append"
+        )
+    assigned = assign_cells(new_vectors, centroids, vec_col).select(
+        id_col, vec_col, "cell"
     )
-    wq = Window.partitionBy("query_id").orderBy("_d2", "cell")
-    probes = (
-        qc.withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "q_vec", "cell")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/increments/epoch={epoch}"
     )
-    scored = (
-        probes.join(indexed, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+
+
+def read_ivf_vectors(spark, path: str) -> DataFrame:
+    """(id, embedding, cell) over base + all increment epochs."""
+    import glob as _glob
+
+    man = read_ivf_manifest(path)
+    cols = [man["id_col"], man["vec_col"], "cell"]
+    vecs = spark.read.parquet(f"{path}/vectors").select(*cols)
+    for ep in sorted(_glob.glob(f"{path}/increments/epoch=*")):
+        vecs = vecs.unionByName(spark.read.parquet(ep).select(*cols))
+    return vecs
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe-only ANN over a persisted index — the marginal cost a
+    served query actually pays. The probe set's distinct cells are
+    collected (bounded by min(k_cells, n_queries x nprobe) ints — the
+    routing table is small by construction) and pushed as a LITERAL
+    partition filter, so the scan provably touches only the probed
+    cell directories; scoring is then the exact same equi-join +
+    window kernel as the inline path, hence bit-identical to
+    ivf_topk over base + increments (pinned in tests/test_ivf.py)."""
+    man = read_ivf_manifest(path)
+    centroids = read_ivf_centroids(spark, path)
+    cent = _centroid_df(spark, centroids)
+    probes = _nearest_cells(queries, cent, nprobe, id_col, vec_col)
+    cells = sorted(r.cell for r in probes.select("cell").distinct().collect())
+    indexed = (
+        read_ivf_vectors(spark, path)
+        .filter(F.col("cell").isin(cells))
+        .select(
+            F.col(man["id_col"]).alias("neighbor_id"),
+            F.col(man["vec_col"]).alias("c_vec"),
+            "cell",
+        )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "rk", "neighbor_id", F.round("cos", 6).alias("cos"))
-    )
+    return _score_probed(probes, indexed, k)

@@ -698,6 +698,39 @@ def _extra_plans():
             ["ArrowEvalPython"],
             ["Exchange", "Join", "CartesianProduct"],
         ),
+        # persisted IVF probe: the probed-cell literal filter must reach
+        # the cell-partitioned vector store as a PARTITION filter (only
+        # probed inverted lists are read); scoring is the shared equi-
+        # join kernel. The bounded broadcast query x centroid cross join
+        # is the routing table, so BroadcastNestedLoopJoin is allowed —
+        # CartesianProduct (unbroadcast) is not.
+        "ivf_topk_from_index (probe)": (
+            lambda spark: (lambda ivf, vq, tmp: (
+                ivf.write_ivf_index(
+                    load_table(spark, SF, "embeddings"),
+                    tmp,
+                    ivf.train_centroids(
+                        load_table(spark, SF, "embeddings"), k=8, dim=vq.EMB_DIM
+                    ),
+                ),
+                ivf.ivf_topk_from_index(
+                    spark,
+                    tmp,
+                    load_table(spark, SF, "embeddings").filter("vec_id < 4"),
+                    k=3,
+                    nprobe=2,
+                ),
+            )[1])(
+                __import__("fluent_server_spark.operators.ivf",
+                           fromlist=["write_ivf_index"]),
+                __import__("fluent_server_spark.queries.vectors",
+                           fromlist=["EMB_DIM"]),
+                __import__("tempfile").mkdtemp(prefix="ivf_audit_"),
+            ),
+            ["PartitionFilters: \\[.{0,40}cell",
+             "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+            ["CartesianProduct"],
+        ),
         # media near-dup pairs: banded (band, chunk, modality) EQUI-join
         # over the checkpointed signature relation — the SimHash kernel
         # reused; never a cross join

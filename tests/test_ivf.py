@@ -52,3 +52,74 @@ def test_nprobe_full_is_exact(spark, vec_df, centroids):
         for r in ivf_topk(queries, vec_df, centroids, k=3, nprobe=K_CELLS).collect()
     )
     assert full == exact
+
+
+# --------------------------------------------- persisted IVF index
+
+from fluent_server_spark.operators.ivf import (  # noqa: E402
+    append_to_ivf_index,
+    ivf_topk_from_index,
+    read_ivf_manifest,
+    write_ivf_index,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_index_probe_bit_equal_to_inline(spark, vec_df, centroids, tmp_path):
+    path = str(tmp_path / "ivf")
+    write_ivf_index(vec_df, path, centroids)
+    queries = vec_df.filter(F.col("vec_id") < 8)
+    inline = _rows(ivf_topk(queries, vec_df, centroids, k=4, nprobe=2))
+    stored = _rows(ivf_topk_from_index(spark, path, queries, k=4, nprobe=2))
+    assert stored == inline and len(stored) > 0
+    man = read_ivf_manifest(path)
+    assert man["k"] == K_CELLS and man["dim"] == DIM
+
+
+def test_index_probe_prunes_partitions(spark, vec_df, centroids, tmp_path):
+    path = str(tmp_path / "ivf")
+    write_ivf_index(vec_df, path, centroids)
+    queries = vec_df.filter(F.col("vec_id") < 3)
+    out = ivf_topk_from_index(spark, path, queries, k=3, nprobe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the probed-cell literal filter must reach the scan as a PARTITION
+    # filter (the whole point of the cell-partitioned layout)
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:120]
+    assert "cell" in seg, seg
+
+
+def test_append_epochs_and_idempotent_replay(spark, vec_df, centroids, tmp_path):
+    path = str(tmp_path / "ivf")
+    base = vec_df.filter(F.col("vec_id") < 80)
+    batch = vec_df.filter(F.col("vec_id") >= 80)
+    write_ivf_index(base, path, centroids)
+    append_to_ivf_index(batch, path, epoch=0)
+    # query from BOTH the base clusters and the appended clusters, so
+    # the equality is non-vacuous on each side of the epoch boundary
+    queries = vec_df.filter(
+        (F.col("vec_id") < 3) | (F.col("vec_id").between(100, 102))
+    )
+    want = _rows(ivf_topk(queries, vec_df, centroids, k=4, nprobe=2))
+    got = _rows(ivf_topk_from_index(spark, path, queries, k=4, nprobe=2))
+    assert got == want
+    # crashed-and-replayed epoch: whole-epoch overwrite, identical result
+    append_to_ivf_index(batch, path, epoch=0)
+    assert _rows(ivf_topk_from_index(spark, path, queries, k=4, nprobe=2)) == want
+    # results must include appended vectors (non-vacuous)
+    assert any(nb >= 80 for (_q, _rk, nb, _c) in want)
+
+
+def test_index_rejects_dim_mismatch(spark, vec_df, centroids, tmp_path):
+    path = str(tmp_path / "ivf")
+    write_ivf_index(vec_df, path, centroids)
+    bad = spark.createDataFrame(
+        [(200, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="dimension"):
+        append_to_ivf_index(bad, path, epoch=1)
+    with pytest.raises(ValueError, match="dimension"):
+        write_ivf_index(bad, str(tmp_path / "ivf2"), centroids)
