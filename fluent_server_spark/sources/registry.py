@@ -62,6 +62,27 @@ def src_json(spark: SparkSession, location: str) -> DataFrame:
     return _cast(spark.read.schema(TURNS_SCHEMA).json(location))
 
 
+def src_orc(spark: SparkSession, location: str) -> DataFrame:
+    """ORC dir — the other columnar format Spark ships natively; same
+    pushdown/pruning story as parquet (predicate pushdown into ORC
+    stripe/row-group indexes)."""
+    return _cast(spark.read.orc(location))
+
+
+def src_avro(spark: SparkSession, location: str) -> DataFrame:
+    """Avro dir — the row format log shippers commonly hand off.
+    Requires the external spark-avro module; fails with an actionable
+    message when the jar is absent (same contract as iceberg)."""
+    try:
+        return _cast(spark.read.format("avro").load(location))
+    except Exception as e:
+        raise RuntimeError(
+            "avro source needs the spark-avro module on the classpath "
+            "(spark-submit --packages org.apache.spark:spark-avro_2.13:"
+            "<spark-version>); use source=parquet or orc in-sandbox"
+        ) from e
+
+
 def src_iceberg(spark: SparkSession, location: str) -> DataFrame:
     """Iceberg table (catalog.db.table). Requires iceberg-spark-runtime
     jars; the design target (hidden partitioning, snapshot isolation,
@@ -112,6 +133,8 @@ SOURCES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parquet": src_parquet,
     "csv": src_csv,
     "json": src_json,
+    "orc": src_orc,
+    "avro": src_avro,
     "iceberg": src_iceberg,
     "synthetic": src_synthetic,
     "fluent-file": src_fluent_file,

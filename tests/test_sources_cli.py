@@ -35,6 +35,29 @@ def test_synthetic_source(spark):
     assert load_turns(spark, "synthetic", "500:10").count() == 500
 
 
+def test_orc_roundtrip(spark, turns_pdf, tmp_path):
+    p = str(tmp_path / "turns.orc")
+    spark.createDataFrame(turns_pdf).write.orc(p)
+    df = load_turns(spark, "orc", p)
+    assert df.count() == len(turns_pdf)
+    assert [f.name for f in df.schema.fields] == [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+    ]
+
+
+def test_avro_roundtrip_or_actionable_error(spark, turns_pdf, tmp_path):
+    # spark-avro is an external module: with the jar this must round-trip,
+    # without it the error must say exactly what to add to the classpath
+    p = str(tmp_path / "turns.avro")
+    try:
+        spark.createDataFrame(turns_pdf).write.format("avro").save(p)
+    except Exception:
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            load_turns(spark, "avro", p)
+        return
+    assert load_turns(spark, "avro", p).count() == len(turns_pdf)
+
+
 def test_missing_column_fails_fast(spark, tmp_path):
     p = str(tmp_path / "bad.parquet")
     spark.range(5).write.parquet(p)
