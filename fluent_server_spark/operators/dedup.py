@@ -874,10 +874,38 @@ def banded_hamming_pairs(
             "(8 bands cover hamming <= 7) instead of silently losing pairs, "
             "or pass strict=False to accept best-effort recall"
         )
+    bands = signature_bands(sig, id_col, sig_col, n_bands, segment_cols)
+    seg = list(segment_cols)
+    left = bands.select(
+        F.col(id_col).alias("a_id"), F.col(sig_col).alias("a_sim"), *seg, "band", "chunk"
+    )
+    right = bands.select(
+        F.col(id_col).alias("b_id"), F.col(sig_col).alias("b_sim"), *seg, "band", "chunk"
+    )
+    return (
+        left.join(right, ["band", "chunk", *seg])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", hamming64(F.col("a_sim"), F.col("b_sim")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def signature_bands(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: str,
+    n_bands: int,
+    segment_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, sig, *segments, band, chunk): the banded decomposition of a
+    64-bit signature relation — one explode, no shuffle. Shared by the
+    self-join pair kernel above and the cross-set (batch vs corpus)
+    variant below; also what a persisted fingerprint index stores."""
     width = 64 // n_bands
     mask = (1 << width) - 1
     seg = list(segment_cols)
-    bands = sig.select(
+    return sig.select(
         id_col,
         sig_col,
         *seg,
@@ -895,16 +923,46 @@ def banded_hamming_pairs(
             )
         ).alias("bb"),
     ).select(id_col, sig_col, *seg, "bb.band", "bb.chunk")
-    left = bands.select(
-        F.col(id_col).alias("a_id"), F.col(sig_col).alias("a_sim"), *seg, "band", "chunk"
+
+
+def banded_hamming_join(
+    new_sig: DataFrame,
+    corpus_bands: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sim",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    segment_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """CROSS-SET banded hamming join: today's batch against a stored
+    corpus — (new_id, corpus_id, hamming) with hamming <= max_hamming.
+    `corpus_bands` is a signature_bands() relation (typically read from
+    a persisted index partitioned by band); only the NEW side is banded
+    here, so an increment never re-fingerprints the corpus. Same
+    pigeonhole recall guarantee as the self-join kernel; the corpus
+    side's n_bands must match (the index manifest enforces it)."""
+    if 64 % n_bands != 0:
+        raise ValueError(f"n_bands={n_bands} must divide 64")
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= n_bands={n_bands}: pigeonhole "
+            "recall only covers hamming < n_bands"
+        )
+    seg = list(segment_cols)
+    left = signature_bands(new_sig, id_col, sig_col, n_bands, segment_cols).select(
+        F.col(id_col).alias("new_id"), F.col(sig_col).alias("a_sim"), *seg, "band", "chunk"
     )
-    right = bands.select(
-        F.col(id_col).alias("b_id"), F.col(sig_col).alias("b_sim"), *seg, "band", "chunk"
+    right = corpus_bands.select(
+        F.col(id_col).alias("corpus_id"), F.col(sig_col).alias("b_sim"), *seg,
+        "band", "chunk",
     )
     return (
         left.join(right, ["band", "chunk", *seg])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", hamming64(F.col("a_sim"), F.col("b_sim")).alias("hamming"))
+        .select(
+            "new_id",
+            "corpus_id",
+            hamming64(F.col("a_sim"), F.col("b_sim")).alias("hamming"),
+        )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

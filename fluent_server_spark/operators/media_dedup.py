@@ -185,3 +185,76 @@ def media_neardup_pairs(
         n_bands=n_bands,
         segment_cols=("modality",),
     )
+
+
+# ------------------------------------- persisted fingerprint index
+
+def write_media_fingerprint_index(
+    media: DataFrame,
+    path: str,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    modality_col: str = "modality",
+    n_bands: int = 4,
+) -> None:
+    """Persist the corpus's banded fingerprint relation — the media
+    counterpart of write_minhash_index: ingest-time dedup probes it
+    without ever re-decoding the corpus. `{path}/bands` is
+    (id, sig, modality, band, chunk) PARTITIONED BY band, so an
+    increment's candidate join reads only band files; `{path}/index.json`
+    pins n_bands and column names so an index banded differently can
+    never silently join. Build cost is one decode pass + the
+    partitioned write."""
+    import json
+    import os
+
+    from fluent_server_spark.operators.dedup import signature_bands
+
+    sig = fingerprint_media(media, id_col, payload_col, modality_col).filter(
+        F.col("sig").isNotNull()
+    )
+    bands = signature_bands(sig, id_col, "sig", n_bands, ("modality",))
+    bands.write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands")
+    manifest = {"n_bands": n_bands, "id_col": id_col, "format": 1}
+    with open(os.path.join(path, "index.json"), "w") as f:
+        json.dump(manifest, f)
+
+
+def media_neardup_against(
+    new_media: DataFrame,
+    index_path: str,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    modality_col: str = "modality",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """INCREMENTAL media dedup: today's batch vs the stored corpus
+    fingerprint index — (new_id, corpus_id, hamming), same-modality
+    only. Only the new batch is decoded and banded; the corpus side is
+    the at-rest band relation. Banding parameters come from the index
+    manifest (never caller-supplied, so a mismatch is impossible).
+    max_hamming must stay under the stored n_bands for the pigeonhole
+    recall guarantee — enforced in banded_hamming_join."""
+    import json
+    import os
+
+    from fluent_server_spark.operators.dedup import banded_hamming_join
+
+    with open(os.path.join(index_path, "index.json")) as f:
+        man = json.load(f)
+    spark = new_media.sparkSession
+    corpus_bands = spark.read.parquet(f"{index_path}/bands").withColumnRenamed(
+        man["id_col"], id_col
+    )
+    new_sig = fingerprint_media(new_media, id_col, payload_col, modality_col).filter(
+        F.col("sig").isNotNull()
+    )
+    return banded_hamming_join(
+        new_sig,
+        corpus_bands,
+        id_col=id_col,
+        sig_col="sig",
+        max_hamming=max_hamming,
+        n_bands=man["n_bands"],
+        segment_cols=("modality",),
+    )

@@ -731,6 +731,29 @@ def _extra_plans():
              "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
             ["CartesianProduct"],
         ),
+        # incremental media dedup: new batch banded on the fly, corpus
+        # side read from the band-partitioned fingerprint index — an
+        # equi-join on (band, chunk, modality), never a cross join, and
+        # the corpus payloads are never re-decoded (no second Arrow UDF)
+        "media_neardup_against (incremental)": (
+            lambda spark: (lambda md, mm, tmp: (
+                md.write_media_fingerprint_index(
+                    mm.synth_real_media_df(spark, 40), tmp
+                ),
+                md.media_neardup_against(
+                    mm.synth_real_media_df(spark, 12), tmp
+                ),
+            )[1])(
+                __import__("fluent_server_spark.operators.media_dedup",
+                           fromlist=["media_neardup_against"]),
+                __import__("fluent_server_spark.operators.multimodal",
+                           fromlist=["synth_real_media_df"]),
+                __import__("tempfile").mkdtemp(prefix="media_idx_audit_"),
+            ),
+            ["SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+             "HashAggregate"],
+            ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        ),
         # media near-dup pairs: banded (band, chunk, modality) EQUI-join
         # over the checkpointed signature relation — the SimHash kernel
         # reused; never a cross join

@@ -220,3 +220,48 @@ def test_degenerate_sizes_well_defined():
     body += b"data" + struct.pack("<I", 0)
     empty_wav = b"RIFF" + struct.pack("<I", len(body)) + body
     assert audio_fingerprint(empty_wav) == 0
+
+
+# ------------------------------------- persisted fingerprint index
+
+from fluent_server_spark.operators.media_dedup import (  # noqa: E402
+    media_neardup_against,
+    write_media_fingerprint_index,
+)
+
+
+def test_incremental_against_index(spark, media, tmp_path):
+    """Batch-vs-corpus equals the self-join restricted to cross-set
+    pairs — the same equivalence contract the minhash incremental path
+    pins — and the corpus is never re-decoded (index files only)."""
+    pdf = _corpus_pandas()
+    corpus_pdf = pdf[pdf.media_id < 24]
+    batch_pdf = pdf[pdf.media_id >= 24]
+    corpus = spark.createDataFrame(corpus_pdf, schema=MEDIA_SCHEMA)
+    batch = spark.createDataFrame(batch_pdf, schema=MEDIA_SCHEMA)
+    path = str(tmp_path / "media_idx")
+    write_media_fingerprint_index(corpus, path)
+
+    got = {
+        (r.new_id, r.corpus_id, r.hamming)
+        for r in media_neardup_against(batch, path).collect()
+    }
+    want = {
+        (b, a, h)
+        for (a, b, h) in _expected_pairs(pdf)
+        if a < 24 <= b  # cross-set only, self-join orders a < b
+    }
+    assert got == want and len(got) > 0
+
+
+def test_incremental_max_hamming_guard(spark, media, tmp_path):
+    path = str(tmp_path / "media_idx")
+    write_media_fingerprint_index(
+        spark.createDataFrame(_corpus_pandas(), schema=MEDIA_SCHEMA), path
+    )
+    with pytest.raises(ValueError, match="pigeonhole"):
+        media_neardup_against(
+            spark.createDataFrame(_corpus_pandas(), schema=MEDIA_SCHEMA),
+            path,
+            max_hamming=7,  # stored index has n_bands=4
+        ).collect()
