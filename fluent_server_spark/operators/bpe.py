@@ -266,3 +266,100 @@ def bpe_train(
         max_vocab_words,
         min_pair_count,
     )
+
+
+# ------------------------------------------- tokenizer evaluation
+
+def tokenizer_stats(
+    docs: DataFrame,
+    merges: DataFrame | dict[tuple[str, str], int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc tokenizer evaluation: (id, n_tokens, n_chars, n_words,
+    fertility, chars_per_token) — the numbers that decide between two
+    merge configs before committing a corpus-wide re-tokenization.
+    `fertility` is tokens per WHITESPACE word (the denominator is
+    deliberately independent of the tokenizer's own pretokenizer, so
+    two tokenizers are comparable on the same corpus);
+    `chars_per_token` is the compression ratio. Empty-word/token
+    denominators yield NULL, never a division error. Cost: the one
+    tokenize pass (map-only Arrow) with the char/word counters
+    computed natively alongside it."""
+    base = docs.select(
+        id_col,
+        text_col,
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("n_chars"),
+        F.size(
+            F.filter(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+                lambda w: w != "",
+            )
+        ).alias("n_words"),
+    )
+    tok = bpe_tokenize(base, merges, id_col, text_col, extra_cols=("n_chars", "n_words"))
+    return tok.select(
+        id_col,
+        "n_tokens",
+        "n_chars",
+        "n_words",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(F.col("n_tokens") / F.col("n_words"), 6),
+        ).alias("fertility"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("n_chars") / F.col("n_tokens"), 6),
+        ).alias("chars_per_token"),
+    )
+
+
+def corpus_tokenizer_stats(stats: DataFrame) -> DataFrame:
+    """One-row corpus rollup of tokenizer_stats: micro-averaged
+    fertility and compression (sums first, ratio second — the number
+    that matters for the training-token budget, robust to doc-length
+    mix), plus totals. One bounded aggregation."""
+    return stats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_words").alias("total_words"),
+        F.round(F.sum("n_tokens") / F.sum("n_words"), 6).alias("micro_fertility"),
+        F.round(F.sum("n_chars") / F.sum("n_tokens"), 6).alias(
+            "micro_chars_per_token"
+        ),
+    )
+
+
+def vocab_usage(
+    docs: DataFrame,
+    merges: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(token, rank, uses, is_merge): how often each vocab entry is
+    actually emitted over `docs` — merges with uses=0 are dead weight
+    (vocabulary utilization, the standard argument for resizing or
+    retraining a tokenizer on a shifted corpus). Single-symbol tokens
+    appear with rank NULL / is_merge false. A token reachable from two
+    different merge pairs keeps one row per rank (attribution, not
+    dedup). Cost: one tokenize pass + one count agg + an equi-join
+    against the bounded merge table."""
+    toks = bpe_tokenize(docs, merges, id_col, text_col)
+    uses = (
+        toks.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("uses"))
+    )
+    mtok = merges.select(
+        F.concat(F.col("left"), F.col("right")).alias("token"), "rank"
+    )
+    return (
+        mtok.join(uses, "token", "full_outer")
+        .select(
+            "token",
+            "rank",
+            F.coalesce(F.col("uses"), F.lit(0).cast("long")).alias("uses"),
+            F.col("rank").isNotNull().alias("is_merge"),
+        )
+    )

@@ -731,6 +731,31 @@ def _extra_plans():
              "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
             ["CartesianProduct"],
         ),
+        # tokenizer evaluation: ONE tokenize pass (map-only Arrow) with
+        # native char/word counters alongside — no shuffle, no join
+        "tokenizer_stats (per-doc)": (
+            lambda spark: (lambda bpe: bpe.tokenizer_stats(
+                docs(spark), bpe.bpe_train(docs(spark), num_merges=20)
+            ))(
+                __import__("fluent_server_spark.operators.bpe",
+                           fromlist=["tokenizer_stats"]),
+            ),
+            ["ArrowEvalPython"],
+            ["Exchange", "Join", "CartesianProduct"],
+        ),
+        # vocab utilization: tokenize + explode + count agg + equi-join
+        # against the bounded merge table — never a cross join
+        "vocab_usage (utilization)": (
+            lambda spark: (lambda bpe: bpe.vocab_usage(
+                docs(spark), bpe.bpe_train(docs(spark), num_merges=20)
+            ))(
+                __import__("fluent_server_spark.operators.bpe",
+                           fromlist=["vocab_usage"]),
+            ),
+            ["Generate", "HashAggregate",
+             "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+            ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        ),
         # incremental media dedup: new batch banded on the fly, corpus
         # side read from the band-partitioned fingerprint index — an
         # equi-join on (band, chunk, modality), never a cross join, and

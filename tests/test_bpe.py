@@ -209,3 +209,77 @@ def test_python_twin_matches_reference(texts):
         assert encode_words(pretokenize(t), ranks) == _ref_encode(
             t, got
         )
+
+
+# ------------------------------------------- tokenizer evaluation
+
+from fluent_server_spark.operators.bpe import (  # noqa: E402
+    corpus_tokenizer_stats,
+    tokenizer_stats,
+    vocab_usage,
+)
+
+
+def test_tokenizer_stats_match_python(spark, corpus):
+    sdf = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    merges_df = bpe_train(sdf, num_merges=25)
+    ranks = merge_ranks(merges_df)
+    got = {r["doc_id"]: r for r in tokenizer_stats(sdf, merges_df).collect()}
+    for did, text in corpus.items():
+        toks = encode_words(pretokenize(text), ranks)
+        words = [w for w in re.split(r"\s+", text) if w != ""]
+        row = got[did]
+        assert row["n_tokens"] == len(toks), did
+        assert row["n_chars"] == len(text), did
+        assert row["n_words"] == len(words), did
+        if words:
+            assert row["fertility"] == round(len(toks) / len(words), 6)
+        else:
+            assert row["fertility"] is None
+        if toks:
+            assert row["chars_per_token"] == round(len(text) / len(toks), 6)
+        else:
+            assert row["chars_per_token"] is None
+
+
+def test_corpus_stats_micro_averages(spark, corpus):
+    sdf = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    merges_df = bpe_train(sdf, num_merges=25)
+    stats = tokenizer_stats(sdf, merges_df)
+    row = corpus_tokenizer_stats(stats).collect()[0]
+    pdf = stats.toPandas()
+    assert row["n_docs"] == len(corpus)
+    assert row["total_tokens"] == pdf.n_tokens.sum()
+    assert row["micro_fertility"] == round(
+        float(pdf.n_tokens.sum()) / float(pdf.n_words.sum()), 6
+    )
+    assert row["micro_chars_per_token"] == round(
+        float(pdf.n_chars.sum()) / float(pdf.n_tokens.sum()), 6
+    )
+
+
+def test_vocab_usage_flags_dead_merges(spark, corpus):
+    train = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    merges_df = bpe_train(train, num_merges=25)
+    # a shifted corpus that exercises only part of the learned vocab
+    shifted = spark.createDataFrame(
+        [(0, "the the the"), (1, "zzz qqq")], "doc_id long, text string"
+    )
+    usage = vocab_usage(shifted, merges_df).collect()
+    by_token = {}
+    for r in usage:
+        by_token.setdefault(r["token"], []).append(r)
+    # every emitted token is accounted for with its true count
+    ranks = merge_ranks(merges_df)
+    emitted = {}
+    for t in ["the the the", "zzz qqq"]:
+        for tok in encode_words(pretokenize(t), ranks):
+            emitted[tok] = emitted.get(tok, 0) + 1
+    for tok, n in emitted.items():
+        assert any(r["uses"] == n for r in by_token[tok]), tok
+    # dead merges exist on the shifted corpus and read uses=0
+    dead = [r for r in usage if r["is_merge"] and r["uses"] == 0]
+    assert dead
+    # single-symbol tokens carry no rank
+    singles = [r for r in usage if not r["is_merge"]]
+    assert singles and all(r["rank"] is None for r in singles)
