@@ -69,3 +69,48 @@ def read_flagged_pairs(spark: SparkSession, output_dir: str) -> DataFrame:
         .parquet(f"{output_dir}/epoch=*")
         .drop("epoch")
     )
+
+
+MEDIA_DDL = "media_id long, modality string, payload binary"
+
+
+def stream_media_neardup_against_index(
+    spark: SparkSession,
+    source_dir: str,
+    corpus_index: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema: str = MEDIA_DDL,
+    max_hamming: int = 3,
+    max_files_per_trigger: int = 4,
+):
+    """Media twin of stream_neardup_against_index: each ingest epoch
+    fingerprints ONLY the newly arrived payloads (map-only Arrow) and
+    probes the persisted banded fingerprint index
+    (operators/media_dedup.py::write_media_fingerprint_index) — the
+    standing corpus is never re-decoded. Same exactly-once contract:
+    self-overwriting `epoch=N` dirs, stream == batch pinned in tests.
+    Output rows: (new_id, corpus_id, hamming)."""
+    from fluent_server_spark.operators.media_dedup import media_neardup_against
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def check_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        pairs = media_neardup_against(
+            batch_df, corpus_index, max_hamming=max_hamming
+        )
+        (
+            pairs.write.mode("overwrite").parquet(
+                f"{output_dir}/epoch={epoch_id}"
+            )
+        )
+
+    return (
+        stream.writeStream.foreachBatch(check_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -265,3 +265,55 @@ def test_incremental_max_hamming_guard(spark, media, tmp_path):
             path,
             max_hamming=7,  # stored index has n_bands=4
         ).collect()
+
+
+def test_stream_media_dedup_matches_batch(spark, tmp_path):
+    """Streaming media dedup-on-ingest == the batch operator over the
+    SAME persisted fingerprint index; epoch outputs union exactly-once
+    and the corpus payloads are never readable by the stream."""
+    from fluent_server_spark.streaming.dedup_stream import (
+        read_flagged_pairs,
+        stream_media_neardup_against_index,
+    )
+    from fluent_server_spark.operators.media_dedup import (
+        write_media_fingerprint_index,
+        media_neardup_against,
+    )
+
+    pdf = _corpus_pandas()
+    corpus = spark.createDataFrame(pdf[pdf.media_id < 24], schema=MEDIA_SCHEMA)
+    idx = str(tmp_path / "midx")
+    write_media_fingerprint_index(corpus, idx)
+
+    batch_pdf = pdf[pdf.media_id >= 24][["media_id", "modality", "payload"]]
+    src = tmp_path / "incoming"
+    src.mkdir()
+    ddl = "media_id long, modality string, payload binary"
+    spark.createDataFrame(batch_pdf.iloc[:2], ddl).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    spark.createDataFrame(batch_pdf.iloc[2:], ddl).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+
+    out, ckpt = str(tmp_path / "flagged"), str(tmp_path / "ckpt")
+    q = stream_media_neardup_against_index(
+        spark, f"{src}/*", idx, out, ckpt, max_files_per_trigger=1
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    key = lambda r: (r["new_id"], r["corpus_id"], r["hamming"])  # noqa: E731
+    got = sorted(map(key, read_flagged_pairs(spark, out).collect()))
+    want = sorted(
+        map(
+            key,
+            media_neardup_against(
+                spark.createDataFrame(batch_pdf, ddl), idx
+            ).collect(),
+        )
+    )
+    assert got == want
+    assert len(got) >= 2  # planted near-copies flagged across epochs
