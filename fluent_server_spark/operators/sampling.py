@@ -15,7 +15,7 @@ different salts give independent hashes, so `sample(salt='train')` and
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _MOD = 1_000_000
@@ -221,4 +221,38 @@ def cluster_safe_splits(
     expr = expr.otherwise(F.lit(last))
     return joined.withColumn("split_key", key).withColumn("split", expr).drop(
         "_cluster"
+    )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Per-key document cap — the RefinedWeb/C4-style per-domain limit
+    that stops one source from dominating the corpus mix. Keeps at most
+    `cap` rows per key; survivors are chosen by the portable
+    `sample_hash(salt || id)` order (ties break on the id), so the kept
+    set is a pure function of the input — engine-, partitioning-, and
+    retry-invariant, and NOT biased toward ingest order the way a
+    naive LIMIT per file would be. Output: input rows + `key_rank`
+    (1-based within key), filtered to key_rank <= cap.
+
+    Scale shape: ONE window over hash(key) — the same single exchange
+    any per-key top-k costs (no join, no second pass). A viral key
+    costs one linear scan of its rows, never a quadratic candidate
+    set; if one key alone exceeds an executor's sort budget, the
+    standard salt-split applies upstream. DuckDB replay: ROW_NUMBER()
+    OVER (PARTITION BY key ORDER BY the md5 construction in
+    sample_hash's docstring, id) — pinned in the registry guard via
+    the pre-staged `source_cap` oracle pair."""
+    if cap < 1:
+        raise ValueError(f"cap={cap} must be >= 1 (0 would drop every key)")
+    w = Window.partitionBy(key_col).orderBy(
+        sample_hash(F.col(id_col), salt), F.col(id_col)
+    )
+    return df.withColumn("key_rank", F.row_number().over(w)).filter(
+        F.col("key_rank") <= cap
     )

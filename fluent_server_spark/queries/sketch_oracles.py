@@ -804,3 +804,34 @@ FROM j, tot
 
 
 SKETCH_QUERIES["corpus_drift"] = QuerySpec(q_corpus_drift, SQL_CORPUS_DRIFT)
+
+
+# --------------------------------------------- per-source cap
+
+SOURCE_CAP = 10
+
+
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style per-source document cap: keep <= SOURCE_CAP docs
+    per source, survivors chosen by the portable md5 order (pure
+    function of the input — ingest-order-free). One window exchange."""
+    from fluent_server_spark.operators.sampling import cap_per_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cap_per_key(docs, "source", cap=SOURCE_CAP).select(
+        "doc_id", "source", "key_rank"
+    )
+
+
+SQL_SOURCE_CAP = f"""
+SELECT doc_id, source, key_rank FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {_H15.format(expr="'cap' || CAST(doc_id AS VARCHAR)")} % 1000000,
+                    doc_id
+         ) AS key_rank
+  FROM documents)
+WHERE key_rank <= {SOURCE_CAP}
+"""
+SKETCH_QUERIES["source_cap"] = QuerySpec(q_source_cap, SQL_SOURCE_CAP)

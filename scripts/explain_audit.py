@@ -731,6 +731,17 @@ def _extra_plans():
              "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
             ["CartesianProduct"],
         ),
+        # per-source cap: ONE window over hash(key) — the single
+        # exchange any per-key top-k costs; no join, no Python
+        "source_cap (per-key cap)": (
+            lambda spark: __import__(
+                "fluent_server_spark.queries.sketch_oracles",
+                fromlist=["q_source_cap"],
+            ).q_source_cap(spark, SF),
+            ["Window", "Exchange hashpartitioning"],
+            ["Join", "CartesianProduct", "Python",
+             "Exchange rangepartitioning"],
+        ),
         # tokenizer evaluation: ONE tokenize pass (map-only Arrow) with
         # native char/word counters alongside — no shuffle, no join
         "tokenizer_stats (per-doc)": (

@@ -198,3 +198,27 @@ def test_cluster_safe_splits(spark):
     assert eval_small <= eval_big
     with pytest.raises(ValueError):
         cluster_safe_splits(docs, clusters, "doc_id", {"train": 0.0})
+
+
+# ------------------------------------------------- per-key cap
+
+def test_cap_per_key_basic_and_invariant(spark):
+    from fluent_server_spark.operators.sampling import cap_per_key
+
+    rows = [(i, f"src{i % 3}") for i in range(40)] + [(100 + i, "viral") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = cap_per_key(df, "source", cap=5, id_col="doc_id")
+    pdf = kept.toPandas()
+    # cap respected everywhere, small keys keep everything they have
+    assert pdf.groupby("source").size().le(5).all()
+    assert set(pdf.groupby("source").size().index) == {"src0", "src1", "src2", "viral"}
+    assert (pdf.key_rank >= 1).all() and (pdf.key_rank <= 5).all()
+    # kept set is a pure function of the input: partitioning-invariant
+    kept2 = cap_per_key(df.repartition(13), "source", cap=5, id_col="doc_id")
+    assert sorted(map(tuple, pdf[["doc_id", "key_rank"]].values.tolist())) == sorted(
+        map(tuple, kept2.toPandas()[["doc_id", "key_rank"]].values.tolist())
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cap"):
+        cap_per_key(df, "source", cap=0)
