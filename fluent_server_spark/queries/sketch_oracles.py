@@ -835,3 +835,56 @@ SELECT doc_id, source, key_rank FROM (
 WHERE key_rank <= {SOURCE_CAP}
 """
 SKETCH_QUERIES["source_cap"] = QuerySpec(q_source_cap, SQL_SOURCE_CAP)
+
+
+# --------------------------------------------- hard-negative mining
+
+HARDNEG_POS_RANKS = (1, 3)  # deterministic stand-in gold set
+HARDNEG_N = 4
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPR-style hard negatives over the registered BM25 ranking: the
+    positives are the rank-1/rank-3 docs (a deterministic stand-in for
+    a gold set), negatives are the top non-positives re-ranked. The
+    miner itself is a pure relational layer over ANY ranking
+    (operators/negatives.py)."""
+    from pyspark.sql import functions as F
+
+    from fluent_server_spark.operators.negatives import mine_hard_negatives
+    from fluent_server_spark.queries.docs import q_bm25_topk
+
+    ranking = q_bm25_topk(spark, sf_dir)
+    positives = ranking.filter(F.col("rk").isin(*HARDNEG_POS_RANKS)).select(
+        "query_id", "doc_id"
+    )
+    return mine_hard_negatives(ranking, positives, n_neg=HARDNEG_N).select(
+        "query_id", "neg_rank", "doc_id", "score"
+    )
+
+
+def _sql_hard_negatives() -> str:
+    from fluent_server_spark.queries.docs import SQL_BM25_TOPK
+
+    ranks = ", ".join(str(r) for r in HARDNEG_POS_RANKS)
+    return f"""
+WITH ranking AS ({SQL_BM25_TOPK}),
+pos AS (SELECT query_id, doc_id FROM ranking WHERE rk IN ({ranks})),
+neg AS (
+  SELECT r.query_id, r.rk, r.doc_id, r.score
+  FROM ranking r
+  WHERE NOT EXISTS (SELECT 1 FROM pos p
+                    WHERE p.query_id = r.query_id AND p.doc_id = r.doc_id)),
+reranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY rk, doc_id)
+           AS neg_rank
+  FROM neg)
+SELECT query_id, neg_rank, doc_id, score
+FROM reranked WHERE neg_rank <= {HARDNEG_N}
+"""
+
+
+SKETCH_QUERIES["hard_negatives"] = QuerySpec(
+    q_hard_negatives, _sql_hard_negatives()
+)

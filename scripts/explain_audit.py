@@ -731,6 +731,18 @@ def _extra_plans():
              "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
             ["CartesianProduct"],
         ),
+        # hard-negative mining: pure relational layer over a bounded
+        # ranking — anti-join on (query, doc) + one window; no corpus
+        # scan beyond the ranker's own, no Python
+        "hard_negatives (mine)": (
+            lambda spark: __import__(
+                "fluent_server_spark.queries.sketch_oracles",
+                fromlist=["q_hard_negatives"],
+            ).q_hard_negatives(spark, SF),
+            ["Window", "SortMergeJoin LeftAnti|ShuffledHashJoin LeftAnti|"
+             "BroadcastHashJoin.*LeftAnti"],
+            ["CartesianProduct", "Python"],
+        ),
         # per-source cap: ONE window over hash(key) — the single
         # exchange any per-key top-k costs; no join, no Python
         "source_cap (per-key cap)": (
