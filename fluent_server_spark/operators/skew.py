@@ -54,3 +54,44 @@ def salted_count(
         .agg(F.count(F.lit(1)).alias("_partial"))
     )
     return partial.groupBy(key).agg(F.sum("_partial").alias(count_alias))
+
+
+def key_skew_stats(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Shuffle-key skew diagnostics: the measurement that decides
+    WHETHER the salting above (or AQE skew split) is needed before a
+    groupBy/join on `key_col`. Returns the top_n heaviest keys as
+    (rank, key, cnt, share, n_keys, total_rows) — `share` is the
+    fraction of all rows on that key, the number you compare against
+    1/parallelism to see if one task will straggle.
+
+    Scale shape: one keyed count aggregation (map-side partial), a
+    one-row total (broadcast), and a top-N via orderBy().limit() —
+    Catalyst plans that as TakeOrderedAndProject, never a global sort.
+    The rank window runs over the already-collected top_n rows (tiny).
+    Fully SQL-replayable (pre-staged `event_key_skew` oracle pair)."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = counts.agg(
+        F.sum("cnt").alias("total_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key")).limit(top_n)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key"))  # top_n rows only
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("total_rows"), 6).alias("share"),
+            "n_keys",
+            "total_rows",
+        )
+    )

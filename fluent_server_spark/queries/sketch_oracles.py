@@ -888,3 +888,35 @@ FROM reranked WHERE neg_rank <= {HARDNEG_N}
 SKETCH_QUERIES["hard_negatives"] = QuerySpec(
     q_hard_negatives, _sql_hard_negatives()
 )
+
+
+# --------------------------------------------- key-skew diagnostics
+
+SKEW_TOP_N = 10
+
+
+def q_event_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 heaviest event keys with corpus shares — the measurement
+    that decides whether salting / AQE skew split is needed before a
+    user_id groupBy (operators/skew.py::key_skew_stats)."""
+    from fluent_server_spark.operators.skew import key_skew_stats
+
+    events = load_table(spark, sf_dir, "events")
+    return key_skew_stats(events, "user_id", top_n=SKEW_TOP_N)
+
+
+SQL_EVENT_KEY_SKEW = f"""
+WITH counts AS (
+  SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY user_id),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_rows,
+               count(*) AS n_keys FROM counts),
+top AS (
+  SELECT key, cnt,
+         row_number() OVER (ORDER BY cnt DESC, key) AS rank
+  FROM counts)
+SELECT rank, key, cnt,
+       round(CAST(cnt AS DOUBLE) / total_rows, 6) AS share,
+       n_keys, total_rows
+FROM top, tot WHERE rank <= {SKEW_TOP_N}
+"""
+SKETCH_QUERIES["event_key_skew"] = QuerySpec(q_event_key_skew, SQL_EVENT_KEY_SKEW)

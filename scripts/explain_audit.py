@@ -731,6 +731,17 @@ def _extra_plans():
              "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
             ["CartesianProduct"],
         ),
+        # key-skew diagnostics: keyed count agg + TakeOrderedAndProject
+        # top-N (never a global sort of all keys) + broadcast one-row
+        # total — no Python, no cartesian beyond the 1-row cross
+        "event_key_skew (diagnostic)": (
+            lambda spark: __import__(
+                "fluent_server_spark.queries.sketch_oracles",
+                fromlist=["q_event_key_skew"],
+            ).q_event_key_skew(spark, SF),
+            ["HashAggregate", "TakeOrderedAndProject"],
+            ["Python", "Exchange rangepartitioning", "SortMergeJoin"],
+        ),
         # hard-negative mining: pure relational layer over a bounded
         # ranking — anti-join on (query, doc) + one window; no corpus
         # scan beyond the ranker's own, no Python

@@ -41,3 +41,20 @@ def test_salted_count_matches_plain(spark, turns_sdf):
     }
     salted = {r.conv_id: r.n for r in salted_count(turns_sdf, "conv_id").collect()}
     assert salted == plain
+
+
+def test_key_skew_stats_ranks_hot_keys(spark):
+    from fluent_server_spark.operators.skew import key_skew_stats
+
+    rows = [(i, "hot") for i in range(60)] + [(100 + i, f"k{i % 5}") for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, key string")
+    got = key_skew_stats(df, "key", top_n=3).collect()
+    assert [r.rank for r in got] == [1, 2, 3]
+    assert got[0].key == "hot" and got[0].cnt == 60
+    assert got[0].share == 0.6 and got[0].total_rows == 100 and got[0].n_keys == 6
+    # TakeOrderedAndProject, not a global sort of all keys
+    plan = (
+        key_skew_stats(df, "key", top_n=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
