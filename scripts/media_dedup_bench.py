@@ -37,14 +37,29 @@ def _bits64(i: int) -> np.ndarray:
     return np.array([(h >> k) & 1 for k in range(64)], dtype=np.int64)
 
 
+def _bytes64(i: int) -> np.ndarray:
+    """64 pseudo-random bytes for id i (4 chained md5 blocks)."""
+    out = b"".join(
+        hashlib.md5(f"{i}:{blk}".encode()).digest() for blk in range(4)
+    )
+    return np.frombuffer(out, dtype=np.uint8).astype(np.int64)
+
+
 def sweep_wav_bytes(i: int, flip: int = -1) -> bytes:
-    """512-sample WAV: window k loud iff bit k of md5(i); `flip`
-    inverts one window (a hamming-1 near-copy)."""
-    bits = _bits64(i)
+    """512-sample WAV with CONTINUOUS per-window amplitudes (64 distinct
+    md5-derived levels): the energy fingerprint's median threshold then
+    yields ~32 diverse bits per signal. Binary loud/quiet amplitudes are
+    the operator's documented degenerate case (majority-loud signals all
+    hash to 0 under a strict-> median) — that collapse is a different,
+    pathological experiment, not this sweep. `flip` boosts one window
+    far above the range (a hamming-1..2 near-copy: the boosted bit flips
+    and the shifted median may flip one borderline neighbor)."""
+    levels = 100 + _bytes64(i) * 120  # 64 distinct-ish amplitudes <= 30700
     if flip >= 0:
-        bits[flip] ^= 1
-    # 8 samples per window; loud windows at +-20000, quiet at +-200
-    amp = np.where(bits == 1, 20000, 200).repeat(8)
+        levels = levels.copy()
+        levels[flip] = 31500  # above every normal level, inside int16
+    # 8 samples per window; alternate sign so means stay ~0 but |amp| high
+    amp = levels.repeat(8)
     sgn = np.where(np.arange(512) % 2 == 0, 1, -1)
     samples = (amp * sgn).astype("<i2")
     data = samples.tobytes()
