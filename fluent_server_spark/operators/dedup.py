@@ -850,6 +850,7 @@ def banded_hamming_pairs(
     n_bands: int = 4,
     segment_cols: tuple[str, ...] = (),
     strict: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Generic banded hamming self-join over 64-bit signatures →
     (a_id, b_id, hamming) pairs with hamming <= max_hamming.
@@ -864,7 +865,19 @@ def banded_hamming_pairs(
     perceptual media fingerprints (operators/media_dedup.py); at scale
     the only shuffle is the (band, chunk) equi-join, never a cross
     join, and skewed chunks (e.g. the all-zero signature of empty
-    inputs) are the caller's cue to pre-filter degenerate rows."""
+    inputs) are the caller's cue to pre-filter degenerate rows.
+
+    `max_bucket` is the standard LSH hot-bucket cap (same insurance as
+    minhash's bucket-size cap): (band, chunk, segment) buckets larger
+    than the cap are DROPPED before the self-join, trading recall
+    inside degenerate clusters (e.g. thousands of byte-identical or
+    signature-zero inputs — the media sweep measured a 46%-collapsed
+    corpus going quadratic, BENCH/BASELINE.md) for a hard bound on
+    join fan-out. A pair inside a dropped bucket can still surface
+    through one of its other n_bands-1 buckets, so only pairs hot in
+    EVERY band are lost — precisely the degenerate mass the cap
+    exists to shed. Costs one extra count window on the same
+    (band, chunk) exchange the join already pays."""
     if 64 % n_bands != 0:
         raise ValueError(f"n_bands={n_bands} must divide 64")
     if strict and max_hamming >= n_bands:
@@ -876,6 +889,13 @@ def banded_hamming_pairs(
         )
     bands = signature_bands(sig, id_col, sig_col, n_bands, segment_cols)
     seg = list(segment_cols)
+    if max_bucket is not None:
+        wb = Window.partitionBy("band", "chunk", *seg)
+        bands = (
+            bands.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
     left = bands.select(
         F.col(id_col).alias("a_id"), F.col(sig_col).alias("a_sim"), *seg, "band", "chunk"
     )

@@ -166,11 +166,16 @@ def media_neardup_pairs(
     modality_col: str = "modality",
     max_hamming: int = 3,
     n_bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(a_id, b_id, hamming) perceptual near-dup pairs, same-modality
     only. Undecodable payloads are excluded (NULL sig). Raise n_bands
     to 8 to cover hamming <= 7 (pigeonhole guarantee is
-    max_hamming < n_bands — enforced in banded_hamming_pairs)."""
+    max_hamming < n_bands — enforced in banded_hamming_pairs). At
+    scale, set `max_bucket` (the LSH hot-bucket cap) so a degenerate
+    signature cluster — byte-identical frames, silence, the measured
+    majority-loud collapse in BENCH/BASELINE.md — cannot drive the
+    self-join quadratic."""
     sig = fingerprint_media(media, id_col, payload_col, modality_col).filter(
         F.col("sig").isNotNull()
     )
@@ -184,6 +189,7 @@ def media_neardup_pairs(
         max_hamming=max_hamming,
         n_bands=n_bands,
         segment_cols=("modality",),
+        max_bucket=max_bucket,
     )
 
 

@@ -317,3 +317,22 @@ def test_stream_media_dedup_matches_batch(spark, tmp_path):
     )
     assert got == want
     assert len(got) >= 2  # planted near-copies flagged across epochs
+
+
+def test_hot_bucket_cap_sheds_degenerate_cluster(spark):
+    """The LSH bucket cap: a degenerate equal-signature cluster (every
+    band hot) is shed, while genuine near-dups in small buckets
+    survive — the measured-quadratic case from BENCH/BASELINE.md made
+    un-explosive."""
+    from fluent_server_spark.operators.multimodal import synth_wav_bytes
+
+    same = synth_wav_bytes(0)
+    rows = [(i, "wav", same) for i in range(50)]  # degenerate cluster
+    rows += [(100, "bmp", synth_bmp_bytes(3)), (101, "bmp", synth_bmp_bytes(3))]
+    df = spark.createDataFrame(
+        rows, "media_id long, modality string, payload binary"
+    )
+    uncapped = media_neardup_pairs(df).count()
+    assert uncapped == 50 * 49 // 2 + 1  # quadratic cluster + the bmp pair
+    capped = media_neardup_pairs(df, max_bucket=10).collect()
+    assert {(r.a_id, r.b_id) for r in capped} == {(100, 101)}
