@@ -331,6 +331,71 @@ class TranscriptPipeline:
             self.spark.read.option("basePath", root).parquet(*paths).drop("run_id")
         )
 
+    def read_incremental(
+        self, from_run: str, to_run: str | None = None
+    ) -> DataFrame:
+        """Iceberg-style INCREMENTAL scan: only the rows appended after
+        `from_run`'s commit, up to `to_run` (default: current head) —
+        the change feed a downstream consumer processes per sync
+        instead of re-reading the table (Iceberg's incremental-read /
+        CDC-append semantics, the remaining read path of the design
+        target's seam). Built on the same commit log as read_appended.
+
+        Contracts, all loud: `from_run`/`to_run` must be committed runs
+        with `from_run` at or before `to_run`; a REWRITE run inside the
+        (from, to] range raises — rewrite files carry copies of earlier
+        rows, so "what was appended" is no longer well-defined past one
+        (rewrites at or before `from_run` are fine: their files are
+        outside the range) — and a vacuumed in-range run raises rather
+        than silently dropping its increment."""
+        if not self.config.snapshots:
+            raise ValueError(
+                "read_incremental requires PipelineConfig(snapshots=True)"
+            )
+        committed = self.checkpoint.all_committed()
+        runs = list(dict.fromkeys(r.run_id for r in committed))
+        if from_run not in runs:
+            raise ValueError(f"no committed run {from_run!r}")
+        hi = len(runs)
+        if to_run is not None:
+            if to_run not in runs:
+                raise ValueError(f"no committed run {to_run!r}")
+            hi = runs.index(to_run) + 1
+        lo = runs.index(from_run) + 1
+        if lo > hi:
+            raise ValueError(
+                f"from_run {from_run!r} commits after to_run {to_run!r}"
+            )
+        window = runs[lo:hi]
+        rewrites = sorted(
+            {r.run_id for r in committed if r.extra.get("rewrite")} & set(window)
+        )
+        if rewrites:
+            raise ValueError(
+                f"incremental range contains rewrite runs {rewrites}: their "
+                "files duplicate earlier rows, so the appended delta is not "
+                "well-defined — consume read_sinks() state instead"
+            )
+        rows_per_run: dict[str, int] = {}
+        for rec in committed:
+            rows_per_run[rec.run_id] = rows_per_run.get(rec.run_id, 0) + rec.n_rows
+        root = self.config.sinks_path
+        paths = []
+        for r in window:
+            p = f"{root}/run_id={r}"
+            if os.path.isdir(p):
+                paths.append(p)
+            elif rows_per_run.get(r, 0) > 0:
+                raise FileNotFoundError(
+                    f"committed run {r!r} ({rows_per_run[r]} rows) was "
+                    "vacuumed: this incremental range is expired"
+                )
+        if not paths:
+            return self.spark.createDataFrame([], SINK_SCHEMA)
+        return (
+            self.spark.read.option("basePath", root).parquet(*paths).drop("run_id")
+        )
+
     def snapshot_partitions(self, as_of_run: str | None = None) -> dict[str, str]:
         """Manifest resolution: partition dir -> owning run_id, replaying
         commit records in log order (the Iceberg snapshot-lineage walk).

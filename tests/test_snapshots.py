@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from fluent_server_spark.plans.pipeline import (
     InjectedFailure,
@@ -108,3 +109,59 @@ def test_vacuum_expires_unreferenced_runs(spark, snap):
     pd.testing.assert_frame_equal(_sorted(pipe.read_sinks()), current)
     with pytest.raises(Exception):
         pipe.read_sinks(as_of_run="runA").collect()  # expired, like Iceberg
+
+
+# ------------------------------------------------- incremental scan
+
+def test_read_incremental_is_the_appended_delta(spark, turns_pdf, tmp_path):
+    """Incremental scan == exactly the rows of the runs in (from, to] —
+    the Iceberg change-feed read. Three append epochs, every window
+    checked against the per-run truth."""
+    pipe = TranscriptPipeline(spark, _cfg(tmp_path))
+    third = len(turns_pdf) // 3
+    parts = [
+        turns_pdf.iloc[:third],
+        turns_pdf.iloc[third : 2 * third],
+        turns_pdf.iloc[2 * third :],
+    ]
+    for i, p in enumerate(parts):
+        pipe.run(spark.createDataFrame(p), run_id=f"run{i}")
+
+    def n_rows(frm, to=None):
+        return pipe.read_incremental(frm, to).count()
+
+    sizes = [len(p) for p in parts]
+    assert n_rows("run0", "run1") == sizes[1]
+    assert n_rows("run1", "run2") == sizes[2]
+    assert n_rows("run0", "run2") == sizes[1] + sizes[2]
+    assert n_rows("run0") == sizes[1] + sizes[2]  # to=None -> head
+    assert n_rows("run2") == 0  # nothing after head
+    # delta CONTENT equals the run's own turns (text round-trips)
+    delta = pipe.read_incremental("run1", "run2").toPandas()
+    want = parts[2]
+    assert sorted(delta["conv_id"] + "#" + delta["turn_idx"].astype(str)) == sorted(
+        want["conv_id"] + "#" + want["turn_idx"].astype(str)
+    )
+    with pytest.raises(ValueError, match="no committed run"):
+        pipe.read_incremental("nope")
+    with pytest.raises(ValueError, match="commits after"):
+        pipe.read_incremental("run2", "run0")
+
+
+def test_read_incremental_rewrite_and_vacuum_contracts(spark, turns_pdf, tmp_path):
+    """A rewrite INSIDE the range poisons the delta (raise); a rewrite
+    BEFORE the range does not; a vacuumed in-range run raises."""
+    pipe = TranscriptPipeline(spark, _cfg(tmp_path))
+    half = spark.createDataFrame(turns_pdf.iloc[: len(turns_pdf) // 2])
+    pipe.run(half, run_id="base")
+    # rewrite epoch: delete some rows (copy-on-write rewrite run)
+    pipe.delete_where(F.col("role") == "tool", run_id="rw")
+    pipe.run(spark.createDataFrame(turns_pdf.iloc[len(turns_pdf) // 2 :]),
+             run_id="more")
+    # rewrite inside (base, more]: not well-defined
+    with pytest.raises(ValueError, match="rewrite"):
+        pipe.read_incremental("base", "more")
+    # rewrite at the range start: fine, only 'more' is read
+    assert pipe.read_incremental("rw", "more").count() == len(turns_pdf) - len(
+        turns_pdf.iloc[: len(turns_pdf) // 2]
+    )
