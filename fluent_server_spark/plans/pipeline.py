@@ -437,6 +437,51 @@ class TranscriptPipeline:
         df = self.spark.read.option("basePath", root).parquet(*paths)
         return df.drop("run_id")
 
+    def export_incremental(self, dest_dir: str, state_path: str) -> dict:
+        """Bookmark-driven downstream sync — the CDC-consumer loop over
+        the snapshot commit log: export exactly the rows appended since
+        the last sync, advance the bookmark, repeat per schedule. The
+        other half of read_incremental (the producer feed).
+
+        Exactly-once without coordination: the delta for head H writes
+        to `{dest_dir}/sync={H}` (whole-dir overwrite) BEFORE the
+        bookmark file moves, so a crash between write and bookmark
+        replays the SAME delta into the SAME dir — rerunning is always
+        safe, and the union of sync dirs equals the append view at the
+        bookmarked head. First sync (no bookmark) exports the full
+        append view as the baseline. No new commits -> no-op (nothing
+        written, bookmark untouched). Returns {"synced_to", "n_rows",
+        "baseline"}; n_rows is -1 for a no-op."""
+        import json as _json
+
+        committed = self.checkpoint.all_committed()
+        runs = list(dict.fromkeys(r.run_id for r in committed))
+        if not runs:
+            return {"synced_to": None, "n_rows": -1, "baseline": False}
+        head = runs[-1]
+        last = None
+        if os.path.exists(state_path):
+            with open(state_path) as f:
+                last = _json.load(f)["last_run"]
+            if last not in runs:
+                raise ValueError(
+                    f"sync bookmark {last!r} is not a committed run of this "
+                    "table — wrong table or corrupted state file"
+                )
+        if last == head:
+            return {"synced_to": head, "n_rows": -1, "baseline": False}
+        delta = (
+            self.read_appended() if last is None else self.read_incremental(last)
+        )
+        out = f"{dest_dir}/sync={head}"
+        delta.write.mode("overwrite").parquet(out)
+        n = self.spark.read.parquet(out).count()
+        tmp = f"{state_path}.tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"last_run": head, "format": 1}, f)
+        os.replace(tmp, state_path)  # atomic bookmark advance
+        return {"synced_to": head, "n_rows": n, "baseline": last is None}
+
     def vacuum_snapshots(self) -> list[str]:
         """Expire-snapshots analogue: delete run directories the CURRENT
         snapshot no longer references. Time travel to expired runs stops

@@ -165,3 +165,46 @@ def test_read_incremental_rewrite_and_vacuum_contracts(spark, turns_pdf, tmp_pat
     assert pipe.read_incremental("rw", "more").count() == len(turns_pdf) - len(
         turns_pdf.iloc[: len(turns_pdf) // 2]
     )
+
+
+def test_export_incremental_sync_loop(spark, turns_pdf, tmp_path):
+    """The CDC-consumer loop: baseline sync, delta sync, no-op when
+    nothing new, and crash-replay idempotence (bookmark rolled back ->
+    same delta rewritten into the same dir, union unchanged)."""
+    import json
+
+    pipe = TranscriptPipeline(spark, _cfg(tmp_path))
+    half = len(turns_pdf) // 2
+    dest = str(tmp_path / "export")
+    state = str(tmp_path / "sync_state.json")
+
+    pipe.run(spark.createDataFrame(turns_pdf.iloc[:half]), run_id="r1")
+    s1 = pipe.export_incremental(dest, state)
+    assert s1 == {"synced_to": "r1", "n_rows": half, "baseline": True}
+
+    pipe.run(spark.createDataFrame(turns_pdf.iloc[half:]), run_id="r2")
+    s2 = pipe.export_incremental(dest, state)
+    assert s2["synced_to"] == "r2" and s2["n_rows"] == len(turns_pdf) - half
+    assert not s2["baseline"]
+
+    # nothing new -> no-op
+    assert pipe.export_incremental(dest, state)["n_rows"] == -1
+
+    # union of sync dirs == append view at head
+    exported = spark.read.option("basePath", dest).parquet(f"{dest}/sync=*")
+    assert exported.count() == pipe.read_appended().count()
+
+    # crash replay: bookmark rolled back to r1 -> r2 delta rewritten
+    # into the SAME dir; union still equals the append view (no dupes)
+    with open(state, "w") as f:
+        json.dump({"last_run": "r1", "format": 1}, f)
+    s2b = pipe.export_incremental(dest, state)
+    assert s2b["synced_to"] == "r2" and s2b["n_rows"] == s2["n_rows"]
+    exported = spark.read.option("basePath", dest).parquet(f"{dest}/sync=*")
+    assert exported.count() == pipe.read_appended().count()
+
+    # foreign bookmark fails loud
+    with open(state, "w") as f:
+        json.dump({"last_run": "not-a-run", "format": 1}, f)
+    with pytest.raises(ValueError, match="bookmark"):
+        pipe.export_incremental(dest, state)
