@@ -264,13 +264,26 @@ def append_to_ivf_index(
 
 
 def read_ivf_vectors(spark, path: str) -> DataFrame:
-    """(id, embedding, cell) over base + all increment epochs."""
+    """(id, embedding, cell) over base + all LIVE increment epochs.
+    Epochs listed in the `compacted.json` marker are skipped: they were
+    already folded into base by compact_ivf_index, and only a crash in
+    its final-removal window leaves them on disk (reading them would
+    double-count)."""
     import glob as _glob
+    import json
+    import os
 
     man = read_ivf_manifest(path)
     cols = [man["id_col"], man["vec_col"], "cell"]
+    folded: list[str] = []
+    marker = os.path.join(path, "compacted.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            folded = json.load(f)["epochs"]
     vecs = spark.read.parquet(f"{path}/vectors").select(*cols)
     for ep in sorted(_glob.glob(f"{path}/increments/epoch=*")):
+        if os.path.basename(ep) in folded:
+            continue
         vecs = vecs.unionByName(spark.read.parquet(ep).select(*cols))
     return vecs
 
@@ -307,3 +320,67 @@ def ivf_topk_from_index(
         )
     )
     return _score_probed(probes, indexed, k)
+
+
+def compact_ivf_index(spark, path: str) -> int:
+    """LSM-style compaction: fold every increment epoch into the base
+    `vectors` layout and drop the increment dirs — the maintenance op a
+    long-lived index schedules once increments accumulate (same role
+    as fold_ledger_into_index for the curate ledger and
+    rewrite_data_files for the snapshot sinks). Probe results are
+    unchanged by construction: the fold is a union of already-assigned
+    (id, vec, cell) rows rewritten under the same partitioning, and
+    cell assignments never move because the centroids are immutable
+    for the index's lifetime (append_to_ivf_index's contract).
+
+    Crash-safe ordering: the merged base writes to a staging dir,
+    swaps in atomically (rename), and only THEN are increments
+    removed — a crash before the swap leaves the old layout intact; a
+    crash between swap and removal leaves increments that are now
+    duplicates of base rows, so the swap also writes a `compacted`
+    marker listing folded epochs and read_ivf_vectors skips marked
+    epochs. Returns the number of epochs folded (0 = nothing to do)."""
+    import glob as _glob
+    import json
+    import os
+    import shutil
+
+    read_ivf_manifest(path)  # fail loud on a non-index path
+    marker = os.path.join(path, "compacted.json")
+    folded_before: list[str] = []
+    if os.path.exists(marker):
+        with open(marker) as f:
+            folded_before = json.load(f)["epochs"]
+    epochs = sorted(
+        e
+        for e in _glob.glob(f"{path}/increments/epoch=*")
+        if os.path.basename(e) not in folded_before
+    )
+    if not epochs:
+        # finish a crashed prior compaction: marked epochs were already
+        # folded into base — remove the leftover dirs and the marker
+        for e in _glob.glob(f"{path}/increments/epoch=*"):
+            if os.path.basename(e) in folded_before:
+                shutil.rmtree(e)
+        if os.path.exists(marker):
+            os.remove(marker)
+        return 0
+    merged = read_ivf_vectors(spark, path)
+    staging = f"{path}/vectors__compacting"
+    merged.write.mode("overwrite").partitionBy("cell").parquet(staging)
+    old = f"{path}/vectors__old"
+    os.rename(f"{path}/vectors", old)
+    os.rename(staging, f"{path}/vectors")
+    # marker BEFORE removal: epochs listed here are never read again
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"epochs": folded_before + [os.path.basename(e) for e in epochs]}, f
+        )
+    os.replace(tmp, marker)
+    shutil.rmtree(old)
+    for e in epochs:
+        shutil.rmtree(e)
+    # all folded epochs are gone from disk: the marker has done its job
+    os.remove(marker)
+    return len(epochs)

@@ -123,3 +123,46 @@ def test_index_rejects_dim_mismatch(spark, vec_df, centroids, tmp_path):
         append_to_ivf_index(bad, path, epoch=1)
     with pytest.raises(ValueError, match="dimension"):
         write_ivf_index(bad, str(tmp_path / "ivf2"), centroids)
+
+
+def test_compact_folds_increments_bit_equal(spark, vec_df, centroids, tmp_path):
+    """Compaction folds every increment into base, removes the epoch
+    dirs, and leaves probe results bit-identical; a second compact is a
+    no-op; a simulated crash (marker written, dirs left) double-counts
+    nothing and is finished by the next compact call."""
+    import json
+    import os
+
+    from fluent_server_spark.operators.ivf import (
+        compact_ivf_index,
+        read_ivf_vectors,
+    )
+
+    path = str(tmp_path / "ivf")
+    write_ivf_index(vec_df.filter(F.col("vec_id") < 60), path, centroids)
+    append_to_ivf_index(vec_df.filter(F.col("vec_id").between(60, 89)), path, epoch=0)
+    append_to_ivf_index(vec_df.filter(F.col("vec_id") >= 90), path, epoch=1)
+    queries = vec_df.filter(
+        (F.col("vec_id") < 3) | (F.col("vec_id").between(100, 102))
+    )
+    before = _rows(ivf_topk_from_index(spark, path, queries, k=4, nprobe=2))
+
+    assert compact_ivf_index(spark, path) == 2
+    assert not os.path.exists(f"{path}/increments/epoch=0")
+    assert _rows(ivf_topk_from_index(spark, path, queries, k=4, nprobe=2)) == before
+    assert compact_ivf_index(spark, path) == 0  # idempotent no-op
+
+    # crash window: epoch folded into base but dir left + marker present
+    append_to_ivf_index(vec_df.filter(F.col("vec_id") >= 90), path, epoch=7)
+    n_before = read_ivf_vectors(spark, path).count()
+    assert compact_ivf_index(spark, path) == 1
+    # simulate the crash state: recreate the folded dir + marker
+    append_to_ivf_index(vec_df.filter(F.col("vec_id") >= 90), path, epoch=7)
+    with open(f"{path}/compacted.json", "w") as f:
+        json.dump({"epochs": ["epoch=7"]}, f)
+    # marked epoch is skipped by reads (no double count)...
+    assert read_ivf_vectors(spark, path).count() == n_before
+    # ...and the next compact finishes the cleanup
+    assert compact_ivf_index(spark, path) == 0
+    assert not os.path.exists(f"{path}/increments/epoch=7")
+    assert not os.path.exists(f"{path}/compacted.json")

@@ -471,3 +471,42 @@ def test_cluster_splits_never_leak_on_random_graphs(spark, edges, w_eval):
     for a, b in edges:
         if a != b:
             assert split_of[a] == split_of[b], (a, b)
+
+
+# ------------------------------------------- banded hamming kernel
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=2,
+        max_size=40,
+    ),
+    st.sampled_from([(3, 4), (7, 8), (1, 2)]),
+)
+def test_banded_hamming_matches_brute_oracle(spark, sigs, ham_bands):
+    """banded_hamming_pairs == the brute-force hamming pair set for
+    every max_hamming < n_bands (the pigeonhole recall guarantee),
+    on RANDOM 64-bit signatures including duplicates and extremes."""
+    from fluent_server_spark.operators.dedup import banded_hamming_pairs
+
+    max_hamming, n_bands = ham_bands
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sigs)], "id long, sig long"
+    )
+    got = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in banded_hamming_pairs(
+            df, id_col="id", sig_col="sig", max_hamming=max_hamming,
+            n_bands=n_bands,
+        ).collect()
+    }
+    M = (1 << 64) - 1
+    want = set()
+    for a in range(len(sigs)):
+        for b in range(a + 1, len(sigs)):
+            d = bin((sigs[a] & M) ^ (sigs[b] & M)).count("1")
+            if d <= max_hamming:
+                want.add((a, b, d))
+    assert got == want
