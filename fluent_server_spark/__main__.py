@@ -749,9 +749,10 @@ def main(argv: list[str] | None = None) -> int:
                          "+ parquet sinks (requires --sinks and --checkpoint "
                          "= stream checkpoint dir)")
     ap.add_argument("--snapshots", action="store_true",
-                    help="live-edge: land the SNAPSHOT table (one manifest "
-                         "commit per epoch; read_appended/time-travel/MERGE "
-                         "surface) instead of the plain parquet sink")
+                    help="land the SNAPSHOT table (manifest commits; "
+                         "read_appended/time-travel/MERGE/incremental "
+                         "surface) instead of the plain parquet sink — "
+                         "batch ingest and live-edge both honor it")
     ap.add_argument("--dedup-index", default=None, metavar="INDEX_DIR",
                     help="live-edge: near-dup-check every ingested turn "
                          "against this persisted minhash index "
@@ -816,6 +817,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="--sft gates on the full qc_ok conjunction "
                          "(incl. strict role alternation and "
                          "starts-with-user) instead of the relaxed set")
+    ap.add_argument("--sync-export", metavar="DEST_DIR", default=None,
+                    help="CDC consumer loop: export rows appended to the "
+                         "snapshot sink table (--sinks/--checkpoint) since "
+                         "the last sync into DEST_DIR/sync=<run>, then "
+                         "advance the bookmark (exactly-once under crash "
+                         "replay; no new commits -> no-op)")
+    ap.add_argument("--sync-state", default=None, metavar="JSON",
+                    help="bookmark file for --sync-export "
+                         "(default: DEST_DIR/state.json)")
     ap.add_argument("--fold-on-drain", action="store_true",
                     help="curate-stream: after draining, fold accepted "
                          "docs' signatures into the persisted index and "
@@ -844,6 +854,23 @@ def main(argv: list[str] | None = None) -> int:
         if not args.input:
             ap.error("--sft requires --input")
         return _run_sft(args)
+    if args.sync_export:
+        missing = [f for f in ("sinks", "checkpoint") if not getattr(args, f)]
+        if missing:
+            ap.error(
+                "--sync-export also requires: "
+                + ", ".join("--" + m for m in missing)
+            )
+        spark = get_spark("fluent_server_spark", cpus=args.cpus)
+        cfg = PipelineConfig(
+            sinks_path=args.sinks,
+            checkpoint_path=args.checkpoint,
+            snapshots=True,
+        )
+        pipe = TranscriptPipeline(spark, cfg)
+        state = args.sync_state or f"{args.sync_export}/state.json"
+        print(json.dumps(pipe.export_incremental(args.sync_export, state)))
+        return 0
     if args.forward_server:
         return _run_forward_server(args)
     if args.live_edge:
@@ -867,6 +894,7 @@ def main(argv: list[str] | None = None) -> int:
         n_buckets=args.buckets,
         n_salt=args.salt,
         checkpoint_groups=args.groups,
+        snapshots=args.snapshots,
     )
     pipe = TranscriptPipeline(spark, cfg)
     run_id = pipe.run(turns, run_id=args.run_id)

@@ -397,3 +397,35 @@ def test_cli_sft_fully_rejected_corpus(spark, tmp_path, capsys):
         assert man["examples"]["n_examples"] == 0
         assert man["examples"][f"total_{unit}"] == 0
     capsys.readouterr()
+
+
+def test_cli_sync_export_loop(spark, tmp_path, capsys):
+    """--snapshots batch ingest + --sync-export: baseline sync, delta
+    sync after a second run, then a no-op — the whole CDC consumer loop
+    from the command line."""
+    sinks, ckpt = str(tmp_path / "sinks"), str(tmp_path / "ckpt.jsonl")
+    dest = str(tmp_path / "export")
+
+    def ingest(run_id, n):
+        rc = cli_main([
+            "--source", "synthetic", "--input", f"{n}:20",
+            "--sinks", sinks, "--checkpoint", ckpt,
+            "--snapshots", "--run-id", run_id,
+        ])
+        assert rc == 0
+        capsys.readouterr()
+
+    def sync():
+        rc = cli_main([
+            "--sync-export", dest, "--sinks", sinks, "--checkpoint", ckpt,
+        ])
+        assert rc == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    ingest("s1", 1000)
+    out1 = sync()
+    assert out1 == {"synced_to": "s1", "n_rows": 1000, "baseline": True}
+    ingest("s2", 500)
+    out2 = sync()
+    assert out2 == {"synced_to": "s2", "n_rows": 500, "baseline": False}
+    assert sync()["n_rows"] == -1  # nothing new
