@@ -920,3 +920,44 @@ SELECT rank, key, cnt,
 FROM top, tot WHERE rank <= {SKEW_TOP_N}
 """
 SKETCH_QUERIES["event_key_skew"] = QuerySpec(q_event_key_skew, SQL_EVENT_KEY_SKEW)
+
+
+# --------------------------------------------- corpus profile
+
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card metrics over the documents table in one pass
+    (operators/profile.py) — tall (metric, value) so corpus versions
+    diff row-wise."""
+    from fluent_server_spark.operators.profile import corpus_profile
+
+    return corpus_profile(load_table(spark, sf_dir, "documents"))
+
+
+SQL_CORPUS_PROFILE = """
+WITH base AS (
+  SELECT count(*) AS n_docs,
+         sum(length(coalesce(text, ''))) AS total_chars,
+         avg(length(coalesce(text, ''))) AS avg_chars,
+         count(DISTINCT md5(coalesce(text, ''))) AS distinct_texts
+  FROM documents),
+lang AS (
+  SELECT count(*) AS n_langs, max(cnt) AS top_lang_cnt
+  FROM (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang)),
+src AS (
+  SELECT count(*) AS n_sources, max(cnt) AS top_source_cnt
+  FROM (SELECT source, count(*) AS cnt FROM documents GROUP BY source)),
+wide AS (SELECT * FROM base, lang, src)
+SELECT m.metric, round(CAST(m.value AS DOUBLE), 6) AS value
+FROM wide, LATERAL (VALUES
+  ('n_docs', CAST(n_docs AS DOUBLE)),
+  ('total_chars', CAST(total_chars AS DOUBLE)),
+  ('avg_chars', CAST(avg_chars AS DOUBLE)),
+  ('distinct_texts', CAST(distinct_texts AS DOUBLE)),
+  ('dup_rate', 1.0 - CAST(distinct_texts AS DOUBLE) / n_docs),
+  ('n_langs', CAST(n_langs AS DOUBLE)),
+  ('top_lang_share', CAST(top_lang_cnt AS DOUBLE) / n_docs),
+  ('n_sources', CAST(n_sources AS DOUBLE)),
+  ('top_source_share', CAST(top_source_cnt AS DOUBLE) / n_docs)
+) AS m(metric, value)
+"""
+SKETCH_QUERIES["corpus_profile"] = QuerySpec(q_corpus_profile, SQL_CORPUS_PROFILE)

@@ -731,6 +731,17 @@ def _extra_plans():
              "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
             ["CartesianProduct"],
         ),
+        # corpus profile: one doc-level agg + two bounded keyed aggs
+        # folded in as broadcast one-row joins; no Python, no window
+        "corpus_profile (data card)": (
+            lambda spark: __import__(
+                "fluent_server_spark.queries.sketch_oracles",
+                fromlist=["q_corpus_profile"],
+            ).q_corpus_profile(spark, SF),
+            ["HashAggregate", "BroadcastNestedLoopJoin|BroadcastHashJoin"],
+            ["Python", "Window", "SortMergeJoin",
+             "Exchange rangepartitioning"],
+        ),
         # key-skew diagnostics: keyed count agg + TakeOrderedAndProject
         # top-N (never a global sort of all keys) + broadcast one-row
         # total — no Python, no cartesian beyond the 1-row cross

@@ -84,7 +84,7 @@ def test_unmerged_toggle_appends_split_views(spark):
     names = list(full)
     assert names[:50] == base
     splits = names[50:]
-    assert len(splits) == 31  # 13 un-merge views + 18 pre-staged pairs (sketches, NB, hybrid RRF, DSIR, SFT, bigram LM, LSH recall/MRR, preference pairs, best-of-n, transcript QC, cluster-safe splits, corpus drift, source cap, hard negatives, event key skew)
+    assert len(splits) == 32  # 13 un-merge views + 19 pre-staged pairs (sketches, NB, hybrid RRF, DSIR, SFT, bigram LM, LSH recall/MRR, preference pairs, best-of-n, transcript QC, cluster-safe splits, corpus drift, source cap, hard negatives, event key skew, corpus profile)
 
     import sys
 

@@ -222,3 +222,20 @@ def test_cap_per_key_basic_and_invariant(spark):
 
     with _pytest.raises(ValueError, match="cap"):
         cap_per_key(df, "source", cap=0)
+
+
+def test_corpus_profile_values(spark):
+    from fluent_server_spark.operators.profile import corpus_profile
+
+    rows = [
+        (0, "aaa", "en", "s1"), (1, "aaa", "en", "s1"),
+        (2, "bbbb", "fr", "s2"), (3, None, "en", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    got = {r.metric: r.value for r in corpus_profile(df).collect()}
+    assert got["n_docs"] == 4.0
+    assert got["total_chars"] == 10.0  # 3 + 3 + 4 + 0 (NULL counts as '')
+    assert got["distinct_texts"] == 3.0  # 'aaa', 'bbbb', ''
+    assert got["dup_rate"] == 0.25
+    assert got["n_langs"] == 2.0 and got["top_lang_share"] == 0.75
+    assert got["n_sources"] == 2.0 and got["top_source_share"] == 0.5
