@@ -817,6 +817,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="--sft gates on the full qc_ok conjunction "
                          "(incl. strict role alternation and "
                          "starts-with-user) instead of the relaxed set")
+    ap.add_argument("--profile", action="store_true",
+                    help="print data-card metrics for --input (counts, "
+                         "sizes, exact dup rate, role/tool concentration) "
+                         "as one JSON line and exit")
     ap.add_argument("--sync-export", metavar="DEST_DIR", default=None,
                     help="CDC consumer loop: export rows appended to the "
                          "snapshot sink table (--sinks/--checkpoint) since "
@@ -854,6 +858,26 @@ def main(argv: list[str] | None = None) -> int:
         if not args.input:
             ap.error("--sft requires --input")
         return _run_sft(args)
+    if args.profile:
+        if not args.input:
+            ap.error("--profile requires --input")
+        from fluent_server_spark.operators.profile import corpus_profile
+
+        spark = get_spark("fluent_server_spark", cpus=args.cpus)
+        turns = load_turns(spark, args.source, args.input)
+        prof = {
+            r["metric"]: r["value"]
+            for r in corpus_profile(
+                turns, text_col="text", lang_col="role", source_col="tool"
+            ).collect()
+        }
+        # turns-table naming: the concentration keys are role / tool
+        prof["top_role_share"] = prof.pop("top_lang_share")
+        prof["n_roles"] = prof.pop("n_langs")
+        prof["top_tool_share"] = prof.pop("top_source_share")
+        prof["n_tools"] = prof.pop("n_sources")
+        print(json.dumps({"profile": prof}, sort_keys=True))
+        return 0
     if args.sync_export:
         missing = [f for f in ("sinks", "checkpoint") if not getattr(args, f)]
         if missing:

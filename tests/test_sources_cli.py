@@ -429,3 +429,14 @@ def test_cli_sync_export_loop(spark, tmp_path, capsys):
     out2 = sync()
     assert out2 == {"synced_to": "s2", "n_rows": 500, "baseline": False}
     assert sync()["n_rows"] == -1  # nothing new
+
+
+def test_cli_profile(spark, tmp_path, capsys):
+    rc = cli_main(["--profile", "--source", "synthetic", "--input", "1000:20"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    p = out["profile"]
+    assert p["n_docs"] == 1000.0
+    assert 0.0 <= p["dup_rate"] <= 1.0
+    assert p["n_roles"] >= 2 and 0 < p["top_role_share"] <= 1.0
+    assert p["n_tools"] >= 1 and 0 < p["top_tool_share"] <= 1.0
