@@ -828,8 +828,9 @@ def main(argv: list[str] | None = None) -> int:
                          "advance the bookmark (exactly-once under crash "
                          "replay; no new commits -> no-op)")
     ap.add_argument("--sync-state", default=None, metavar="JSON",
-                    help="bookmark file for --sync-export "
-                         "(default: DEST_DIR/state.json)")
+                    help="bookmark file for --sync-export (default: "
+                         "DEST_DIR/_sync_state.json — underscore-prefixed "
+                         "so spark.read.parquet(DEST_DIR) ignores it)")
     ap.add_argument("--fold-on-drain", action="store_true",
                     help="curate-stream: after draining, fold accepted "
                          "docs' signatures into the persisted index and "
@@ -892,7 +893,7 @@ def main(argv: list[str] | None = None) -> int:
             snapshots=True,
         )
         pipe = TranscriptPipeline(spark, cfg)
-        state = args.sync_state or f"{args.sync_export}/state.json"
+        state = args.sync_state or f"{args.sync_export}/_sync_state.json"
         print(json.dumps(pipe.export_incremental(args.sync_export, state)))
         return 0
     if args.forward_server:

@@ -210,6 +210,14 @@ def write_ivf_index(
     }
     with open(os.path.join(path, "index.json"), "w") as f:
         json.dump(manifest, f)
+    # a REBUILD over an existing path starts a fresh lineage: reset the
+    # base pointer and drop any old increments (they were assigned
+    # against this path's previous centroids), leaving stale versioned
+    # base dirs for the next compaction's cleanup pass
+    import shutil
+
+    shutil.rmtree(f"{path}/increments", ignore_errors=True)
+    _write_base_state(path, {"dir": "vectors", "folded": []})
 
 
 def read_ivf_manifest(path: str) -> dict:
@@ -263,26 +271,49 @@ def append_to_ivf_index(
     )
 
 
-def read_ivf_vectors(spark, path: str) -> DataFrame:
-    """(id, embedding, cell) over base + all LIVE increment epochs.
-    Epochs listed in the `compacted.json` marker are skipped: they were
-    already folded into base by compact_ivf_index, and only a crash in
-    its final-removal window leaves them on disk (reading them would
-    double-count)."""
-    import glob as _glob
+def _base_state(path: str) -> dict:
+    """{"dir": <base dir name>, "folded": [epoch names already folded
+    into that base]} — from `{path}/base.json`, defaulting to the
+    original layout for indexes written before compaction ever ran.
+    base.json is the SINGLE atomic commit point of compaction: one
+    os.replace flips both the base pointer and the folded-epoch list
+    together, so readers never see a state where an epoch is both in
+    the base and read as an increment."""
     import json
     import os
 
+    bp = os.path.join(path, "base.json")
+    if os.path.exists(bp):
+        with open(bp) as f:
+            return json.load(f)
+    return {"dir": "vectors", "folded": []}
+
+
+def _write_base_state(path: str, state: dict) -> None:
+    import json
+    import os
+
+    tmp = os.path.join(path, "base.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, os.path.join(path, "base.json"))
+
+
+def read_ivf_vectors(spark, path: str) -> DataFrame:
+    """(id, embedding, cell) over the current base + all LIVE increment
+    epochs. Epochs listed in base.json's folded list are skipped: they
+    are already inside the base it points at, and only a crash in
+    compaction's cleanup phase leaves their dirs on disk (reading them
+    would double-count)."""
+    import glob as _glob
+    import os
+
     man = read_ivf_manifest(path)
+    state = _base_state(path)
     cols = [man["id_col"], man["vec_col"], "cell"]
-    folded: list[str] = []
-    marker = os.path.join(path, "compacted.json")
-    if os.path.exists(marker):
-        with open(marker) as f:
-            folded = json.load(f)["epochs"]
-    vecs = spark.read.parquet(f"{path}/vectors").select(*cols)
+    vecs = spark.read.parquet(f"{path}/{state['dir']}").select(*cols)
     for ep in sorted(_glob.glob(f"{path}/increments/epoch=*")):
-        if os.path.basename(ep) in folded:
+        if os.path.basename(ep) in state["folded"]:
             continue
         vecs = vecs.unionByName(spark.read.parquet(ep).select(*cols))
     return vecs
@@ -333,54 +364,68 @@ def compact_ivf_index(spark, path: str) -> int:
     cell assignments never move because the centroids are immutable
     for the index's lifetime (append_to_ivf_index's contract).
 
-    Crash-safe ordering: the merged base writes to a staging dir,
-    swaps in atomically (rename), and only THEN are increments
-    removed — a crash before the swap leaves the old layout intact; a
-    crash between swap and removal leaves increments that are now
-    duplicates of base rows, so the swap also writes a `compacted`
-    marker listing folded epochs and read_ivf_vectors skips marked
-    epochs. Returns the number of epochs folded (0 = nothing to do)."""
+    Crash-safe via a SINGLE atomic commit point (the base.json pointer
+    file — the same single-writer protocol as every index manifest
+    here):
+
+    1. cleanup: finish any crashed prior run — delete folded-epoch
+       dirs and base dirs base.json no longer references, then clear
+       the folded list once its dirs are gone. Pure garbage collection;
+       reads were already correct before it.
+    2. write the merged base to a NEW versioned dir (vectors_vN+1) —
+       invisible until committed; a crash leaves an orphan dir that
+       step 1 removes next time.
+    3. COMMIT: one os.replace of base.json flips the base pointer AND
+       records the folded epochs together — before it, reads use the
+       old base + live epochs; after it, the new base with those
+       epochs skipped. No window under- or double-counts, and a rerun
+       after any crash converges (the epoch filter keys on names, so
+       re-merging never re-folds an already-folded epoch).
+    4. cleanup again (old base dir + folded epoch dirs + clear list).
+
+    Returns the number of epochs folded (0 = nothing to do)."""
     import glob as _glob
-    import json
     import os
     import shutil
 
     read_ivf_manifest(path)  # fail loud on a non-index path
-    marker = os.path.join(path, "compacted.json")
-    folded_before: list[str] = []
-    if os.path.exists(marker):
-        with open(marker) as f:
-            folded_before = json.load(f)["epochs"]
+
+    def _cleanup(state: dict) -> None:
+        # drop folded-epoch dirs (their rows live in the current base)
+        for e in _glob.glob(f"{path}/increments/epoch=*"):
+            if os.path.basename(e) in state["folded"]:
+                shutil.rmtree(e, ignore_errors=True)
+        # drop base dirs the pointer no longer references (old bases,
+        # crashed staging writes)
+        for d in _glob.glob(f"{path}/vectors*"):
+            if os.path.isdir(d) and os.path.basename(d) != state["dir"]:
+                shutil.rmtree(d, ignore_errors=True)
+        # folded entries whose dirs are gone have done their job
+        if state["folded"] and not any(
+            os.path.isdir(f"{path}/increments/{name}") for name in state["folded"]
+        ):
+            _write_base_state(path, {"dir": state["dir"], "folded": []})
+            state["folded"] = []
+
+    state = _base_state(path)
+    _cleanup(state)
     epochs = sorted(
-        e
+        os.path.basename(e)
         for e in _glob.glob(f"{path}/increments/epoch=*")
-        if os.path.basename(e) not in folded_before
+        if os.path.basename(e) not in state["folded"]
     )
     if not epochs:
-        # finish a crashed prior compaction: marked epochs were already
-        # folded into base — remove the leftover dirs and the marker
-        for e in _glob.glob(f"{path}/increments/epoch=*"):
-            if os.path.basename(e) in folded_before:
-                shutil.rmtree(e)
-        if os.path.exists(marker):
-            os.remove(marker)
         return 0
     merged = read_ivf_vectors(spark, path)
-    staging = f"{path}/vectors__compacting"
-    merged.write.mode("overwrite").partitionBy("cell").parquet(staging)
-    old = f"{path}/vectors__old"
-    os.rename(f"{path}/vectors", old)
-    os.rename(staging, f"{path}/vectors")
-    # marker BEFORE removal: epochs listed here are never read again
-    tmp = marker + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(
-            {"epochs": folded_before + [os.path.basename(e) for e in epochs]}, f
-        )
-    os.replace(tmp, marker)
-    shutil.rmtree(old)
-    for e in epochs:
-        shutil.rmtree(e)
-    # all folded epochs are gone from disk: the marker has done its job
-    os.remove(marker)
+    cur = state["dir"]
+    ver = int(cur.rsplit("_v", 1)[1]) if "_v" in cur else 0
+    new_dir = f"vectors_v{ver + 1}"
+    merged.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/{new_dir}"
+    )
+    # THE commit: pointer + folded list flip together, atomically
+    _write_base_state(
+        path, {"dir": new_dir, "folded": state["folded"] + epochs}
+    )
+    _cleanup({"dir": new_dir, "folded": state["folded"] + epochs})
     return len(epochs)

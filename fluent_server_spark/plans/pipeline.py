@@ -296,22 +296,31 @@ class TranscriptPipeline:
             if as_of_run not in runs:
                 raise ValueError(f"no committed run {as_of_run!r}")
             runs = runs[: runs.index(as_of_run) + 1]
+        return self._append_window(committed, runs, "append view")
+
+    def _append_window(self, committed, window, what: str) -> DataFrame:
+        """Union of the run dirs in `window` (commit order), with the
+        shared loud contracts of every append-semantics read: a REWRITE
+        run in the window raises (its files copy earlier rows — the
+        union would double-count), and a committed-nonempty run whose
+        dir was vacuumed raises FileNotFoundError (the expired-snapshot
+        contract) instead of silently vanishing."""
         rewrites = sorted(
-            {r.run_id for r in committed if r.extra.get("rewrite")} & set(runs)
+            {r.run_id for r in committed if r.extra.get("rewrite")} & set(window)
         )
         if rewrites:
             raise ValueError(
-                f"table has rewrite runs {rewrites}: their files duplicate "
-                "rows from earlier runs, so the append-epoch union would "
-                "double-count — use read_sinks() (manifest resolution) for "
-                "post-rewrite state"
+                f"{what} contains rewrite runs {rewrites}: their files "
+                "duplicate rows from earlier runs, so the append-epoch "
+                "union would double-count — use read_sinks() (manifest "
+                "resolution) for post-rewrite state"
             )
         root = self.config.sinks_path
         rows_per_run: dict[str, int] = {}
         for rec in committed:
             rows_per_run[rec.run_id] = rows_per_run.get(rec.run_id, 0) + rec.n_rows
         paths = []
-        for r in runs:
+        for r in window:
             p = f"{root}/run_id={r}"
             if os.path.isdir(p):
                 paths.append(p)
@@ -321,9 +330,8 @@ class TranscriptPipeline:
                 # but has no dir was vacuumed
                 raise FileNotFoundError(
                     f"committed run {r!r} ({rows_per_run[r]} rows) was "
-                    "vacuumed: the append view of this lineage is expired "
-                    "(same contract as snapshot time travel to an expired "
-                    "run)"
+                    f"vacuumed: this {what} is expired (same contract as "
+                    "snapshot time travel to an expired run)"
                 )
         if not paths:
             return self.spark.createDataFrame([], SINK_SCHEMA)
@@ -366,34 +374,8 @@ class TranscriptPipeline:
             raise ValueError(
                 f"from_run {from_run!r} commits after to_run {to_run!r}"
             )
-        window = runs[lo:hi]
-        rewrites = sorted(
-            {r.run_id for r in committed if r.extra.get("rewrite")} & set(window)
-        )
-        if rewrites:
-            raise ValueError(
-                f"incremental range contains rewrite runs {rewrites}: their "
-                "files duplicate earlier rows, so the appended delta is not "
-                "well-defined — consume read_sinks() state instead"
-            )
-        rows_per_run: dict[str, int] = {}
-        for rec in committed:
-            rows_per_run[rec.run_id] = rows_per_run.get(rec.run_id, 0) + rec.n_rows
-        root = self.config.sinks_path
-        paths = []
-        for r in window:
-            p = f"{root}/run_id={r}"
-            if os.path.isdir(p):
-                paths.append(p)
-            elif rows_per_run.get(r, 0) > 0:
-                raise FileNotFoundError(
-                    f"committed run {r!r} ({rows_per_run[r]} rows) was "
-                    "vacuumed: this incremental range is expired"
-                )
-        if not paths:
-            return self.spark.createDataFrame([], SINK_SCHEMA)
-        return (
-            self.spark.read.option("basePath", root).parquet(*paths).drop("run_id")
+        return self._append_window(
+            committed, runs[lo:hi], "incremental range"
         )
 
     def snapshot_partitions(self, as_of_run: str | None = None) -> dict[str, str]:
@@ -454,6 +436,14 @@ class TranscriptPipeline:
         "baseline"}; n_rows is -1 for a no-op."""
         import json as _json
 
+        if not os.path.exists(self.config.checkpoint_path):
+            # a typo'd path must NOT read as "no commits yet": a
+            # scheduled sync job would silently export nothing forever
+            raise FileNotFoundError(
+                f"no commit log at {self.config.checkpoint_path!r} — wrong "
+                "--checkpoint/--sinks for this table? (a live-edge snapshot "
+                "table's log is {sinks}/_batch_commits.jsonl)"
+            )
         committed = self.checkpoint.all_committed()
         runs = list(dict.fromkeys(r.run_id for r in committed))
         if not runs:
@@ -470,9 +460,23 @@ class TranscriptPipeline:
                 )
         if last == head:
             return {"synced_to": head, "n_rows": -1, "baseline": False}
+        # pin BOTH ends to the head captured above: a commit landing
+        # mid-sync must not leak into this sync dir (it would be
+        # re-exported by the next sync — double rows across dirs)
         delta = (
-            self.read_appended() if last is None else self.read_incremental(last)
+            self.read_appended(as_of_run=head)
+            if last is None
+            else self.read_incremental(last, head)
         )
+        # crashed-leftover collection: a sync dir written but never
+        # bookmarked covers rows this sync is about to re-export (its
+        # head may even differ if commits landed before the retry) —
+        # remove every sync dir beyond the bookmark before writing
+        bookmarked = set() if last is None else set(runs[: runs.index(last) + 1])
+        if os.path.isdir(dest_dir):
+            for d in os.listdir(dest_dir):
+                if d.startswith("sync=") and d.split("=", 1)[1] not in bookmarked:
+                    shutil.rmtree(os.path.join(dest_dir, d))
         out = f"{dest_dir}/sync={head}"
         delta.write.mode("overwrite").parquet(out)
         n = self.spark.read.parquet(out).count()

@@ -76,11 +76,18 @@ def src_avro(spark: SparkSession, location: str) -> DataFrame:
     try:
         return _cast(spark.read.format("avro").load(location))
     except Exception as e:
-        raise RuntimeError(
-            "avro source needs the spark-avro module on the classpath "
-            "(spark-submit --packages org.apache.spark:spark-avro_2.13:"
-            "<spark-version>); use source=parquet or orc in-sandbox"
-        ) from e
+        # only rewrap the MISSING-MODULE failure; a bad path / corrupt
+        # file must keep its own error, not a misleading packaging hint
+        msg = str(e)
+        if "Failed to find data source" in msg or (
+            "avro" in msg.lower() and "ClassNotFound" in msg
+        ):
+            raise RuntimeError(
+                "avro source needs the spark-avro module on the classpath "
+                "(spark-submit --packages org.apache.spark:spark-avro_2.13:"
+                "<spark-version>); use source=parquet or orc in-sandbox"
+            ) from e
+        raise
 
 
 def src_iceberg(spark: SparkSession, location: str) -> DataFrame:

@@ -152,17 +152,31 @@ def test_compact_folds_increments_bit_equal(spark, vec_df, centroids, tmp_path):
     assert _rows(ivf_topk_from_index(spark, path, queries, k=4, nprobe=2)) == before
     assert compact_ivf_index(spark, path) == 0  # idempotent no-op
 
-    # crash window: epoch folded into base but dir left + marker present
+    # crash in the CLEANUP phase: base.json already committed (pointer
+    # flipped, epoch in the folded list) but the epoch dir survived
     append_to_ivf_index(vec_df.filter(F.col("vec_id") >= 90), path, epoch=7)
     n_before = read_ivf_vectors(spark, path).count()
     assert compact_ivf_index(spark, path) == 1
-    # simulate the crash state: recreate the folded dir + marker
+    with open(f"{path}/base.json") as f:
+        state = json.load(f)
+    assert state["folded"] == []  # cleanup completed -> list cleared
+    # simulate the crash state: recreate the folded dir and re-point
+    # base.json at the same base with epoch=7 marked folded
     append_to_ivf_index(vec_df.filter(F.col("vec_id") >= 90), path, epoch=7)
-    with open(f"{path}/compacted.json", "w") as f:
-        json.dump({"epochs": ["epoch=7"]}, f)
-    # marked epoch is skipped by reads (no double count)...
+    with open(f"{path}/base.json", "w") as f:
+        json.dump({"dir": state["dir"], "folded": ["epoch=7"]}, f)
+    # folded epoch is skipped by reads (no double count)...
     assert read_ivf_vectors(spark, path).count() == n_before
     # ...and the next compact finishes the cleanup
     assert compact_ivf_index(spark, path) == 0
     assert not os.path.exists(f"{path}/increments/epoch=7")
-    assert not os.path.exists(f"{path}/compacted.json")
+    with open(f"{path}/base.json") as f:
+        assert json.load(f)["folded"] == []
+    # a crashed STAGING write (orphan new-base dir, pointer not flipped)
+    # is collected without touching results (baseline re-taken here:
+    # the epoch=7 appends above legitimately duplicated ids >= 90)
+    now = _rows(ivf_topk_from_index(spark, path, queries, k=4, nprobe=2))
+    os.makedirs(f"{path}/vectors_v99")
+    assert compact_ivf_index(spark, path) == 0
+    assert not os.path.exists(f"{path}/vectors_v99")
+    assert _rows(ivf_topk_from_index(spark, path, queries, k=4, nprobe=2)) == now

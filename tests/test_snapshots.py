@@ -208,3 +208,40 @@ def test_export_incremental_sync_loop(spark, turns_pdf, tmp_path):
         json.dump({"last_run": "not-a-run", "format": 1}, f)
     with pytest.raises(ValueError, match="bookmark"):
         pipe.export_incremental(dest, state)
+
+
+def test_export_crash_with_new_commits_no_duplication(spark, turns_pdf, tmp_path):
+    """The reviewer's window: sync dir written, bookmark NOT advanced,
+    and a new commit lands before the retry. The retry must collect the
+    un-bookmarked leftover dir and export one delta covering both runs,
+    keeping union(sync dirs) == append view."""
+    import json
+
+    pipe = TranscriptPipeline(spark, _cfg(tmp_path))
+    third = len(turns_pdf) // 3
+    dest = str(tmp_path / "export")
+    state = str(tmp_path / "_sync_state.json")
+
+    pipe.run(spark.createDataFrame(turns_pdf.iloc[:third]), run_id="r1")
+    pipe.export_incremental(dest, state)
+    pipe.run(spark.createDataFrame(turns_pdf.iloc[third : 2 * third]), run_id="r2")
+    pipe.export_incremental(dest, state)  # sync=r2 written, bookmark r2
+    # simulate the crash: roll the bookmark back to r1 (sync=r2 is now
+    # an un-bookmarked leftover), then a NEW commit lands
+    with open(state, "w") as f:
+        json.dump({"last_run": "r1", "format": 1}, f)
+    pipe.run(spark.createDataFrame(turns_pdf.iloc[2 * third :]), run_id="r3")
+    s = pipe.export_incremental(dest, state)
+    assert s["synced_to"] == "r3"
+    assert s["n_rows"] == len(turns_pdf) - third  # (r1, r3] in one delta
+    import os
+
+    assert not os.path.isdir(f"{dest}/sync=r2")  # leftover collected
+    exported = spark.read.option("basePath", dest).parquet(f"{dest}/sync=*")
+    assert exported.count() == pipe.read_appended().count()
+
+
+def test_export_missing_commit_log_fails_loud(spark, tmp_path):
+    pipe = TranscriptPipeline(spark, _cfg(tmp_path))
+    with pytest.raises(FileNotFoundError, match="commit log"):
+        pipe.export_incremental(str(tmp_path / "export"), str(tmp_path / "s.json"))

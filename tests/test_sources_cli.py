@@ -429,6 +429,9 @@ def test_cli_sync_export_loop(spark, tmp_path, capsys):
     out2 = sync()
     assert out2 == {"synced_to": "s2", "n_rows": 500, "baseline": False}
     assert sync()["n_rows"] == -1  # nothing new
+    # the default bookmark is underscore-prefixed, so the export root
+    # reads as ONE parquet table (the natural consumer call)
+    assert spark.read.parquet(dest).count() == 1500
 
 
 def test_cli_profile(spark, tmp_path, capsys):
