@@ -731,6 +731,18 @@ def _extra_plans():
              "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
             ["CartesianProduct"],
         ),
+        # SQ8 quantization: encode is a map-only zip_with projection
+        # (bounds as literals) — no shuffle, no Generate, no Python
+        "quantize_embeddings (encode)": (
+            lambda spark: (lambda qz: (lambda emb: qz.quantize_embeddings(
+                emb, *qz.embedding_bounds(emb, 64)
+            ))(load_table(spark, SF, "embeddings")))(
+                __import__("fluent_server_spark.operators.quantize",
+                           fromlist=["quantize_embeddings"]),
+            ),
+            [],
+            ["Exchange", "Join", "Generate", "Python"],
+        ),
         # corpus profile: one doc-level agg + two bounded keyed aggs
         # folded in as broadcast one-row joins; no Python, no window
         "corpus_profile (data card)": (

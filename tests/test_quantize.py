@@ -1,0 +1,80 @@
+"""SQ8 embedding quantization: reconstruction error bound, degenerate
+dims, clamping, ANN recall through the quantized corpus, and the
+no-explode trainer plan."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_server_spark.operators.quantize import (
+    dequantize_embeddings,
+    embedding_bounds,
+    quantize_embeddings,
+)
+
+DIM = 16
+
+
+def test_roundtrip_error_bound(spark, vec_df):
+    mins, maxs = embedding_bounds(vec_df, DIM)
+    q = quantize_embeddings(vec_df, mins, maxs)
+    deq = dequantize_embeddings(
+        q.select("vec_id", "q_embedding"), mins, maxs, out_col="deq"
+    )
+    joined = vec_df.join(deq, "vec_id").select("embedding", "deq").collect()
+    bound = np.array([(mx - mn) / 255.0 / 2.0 + 1e-12 for mn, mx in zip(mins, maxs)])
+    for r in joined:
+        err = np.abs(np.array(r.embedding) - np.array(r.deq))
+        assert (err <= bound).all(), err.max()
+
+
+def test_codes_are_bytes_and_degenerate_dims_exact(spark):
+    rows = [(0, [1.0, 5.0]), (1, [3.0, 5.0]), (2, [2.0, 5.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    mins, maxs = embedding_bounds(df, 2)
+    assert mins == [1.0, 5.0] and maxs == [3.0, 5.0]
+    q = {r.vec_id: list(r.q_embedding) for r in quantize_embeddings(df, mins, maxs).collect()}
+    assert q[0] == [0, 0] and q[1] == [255, 0] and q[2] == [128, 0]
+    deq = dequantize_embeddings(
+        quantize_embeddings(df, mins, maxs).select("vec_id", "q_embedding"),
+        mins, maxs, out_col="d",
+    )
+    # degenerate dim decodes EXACTLY; out-of-range future values clamp
+    assert all(r.d[1] == 5.0 for r in deq.collect())
+    drift = spark.createDataFrame([(9, [99.0, 5.0])], "vec_id long, embedding array<double>")
+    qd = quantize_embeddings(drift, mins, maxs).collect()[0].q_embedding
+    assert list(qd) == [255, 0]
+
+
+def test_ann_recall_through_quantized_corpus(spark, vec_df):
+    from fluent_server_spark.operators.similarity import brute_force_topk
+
+    mins, maxs = embedding_bounds(vec_df, DIM)
+    stored = quantize_embeddings(vec_df, mins, maxs).select("vec_id", "q_embedding")
+    corpus = dequantize_embeddings(stored, mins, maxs, out_col="embedding")
+    queries = vec_df.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(queries, vec_df, k=5).collect()
+    }
+    viaq = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(queries, corpus, k=5).collect()
+    }
+    recall = len(exact & viaq) / len(exact)
+    assert recall >= 0.95, recall
+
+
+def test_trainer_plan_has_no_explode(spark, vec_df):
+    # the bounds agg must be a plain partial+final aggregation — no
+    # Generate (row blowup), no Python
+    aggs = []
+    for i in range(DIM):
+        e = F.element_at(F.col("embedding"), i + 1)
+        aggs.append(F.min(e).alias(f"mn{i}"))
+        aggs.append(F.max(e).alias(f"mx{i}"))
+    plan = vec_df.agg(*aggs)._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan and "Python" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
