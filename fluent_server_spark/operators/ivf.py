@@ -166,6 +166,7 @@ def write_ivf_index(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sq8: bool = False,
 ) -> None:
     """Persist the inverted-file layout — the artifact a served ANN
     deployment probes without ever rescanning the corpus (the vector
@@ -184,6 +185,15 @@ def write_ivf_index(
     partitioned write's shuffle on cell. Vectors whose dimension
     disagrees with the centroids are rejected loudly up front —
     assign_cells would otherwise give them a NULL-ish cell silently.
+
+    `sq8=True` stores the inverted lists SCALAR-QUANTIZED
+    (operators/quantize.py — one byte per dimension, ~8x smaller at
+    rest): per-dim bounds are learned from this corpus, recorded in
+    the manifest, and FROZEN for the index lifetime (appends encode
+    with the stored bounds, clamping drift — same immutability
+    contract as the centroids). Probes dequantize on read; results are
+    approximate within the SQ8 reconstruction bound rather than
+    bit-equal to the float inline path (recall pinned in tests).
     """
     import json
     import os
@@ -199,8 +209,6 @@ def write_ivf_index(
             "— refusing to build an index that would silently mis-route them"
         )
     indexed = assign_cells(corpus, centroids, vec_col).select(id_col, vec_col, "cell")
-    indexed.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/vectors")
-    _centroid_df(spark, centroids).write.mode("overwrite").parquet(f"{path}/centroids")
     manifest = {
         "k": len(centroids),
         "dim": dim,
@@ -208,6 +216,21 @@ def write_ivf_index(
         "vec_col": vec_col,
         "format": 1,
     }
+    if sq8:
+        from fluent_server_spark.operators.quantize import (
+            embedding_bounds,
+            quantize_expr,
+        )
+
+        mins, maxs = embedding_bounds(corpus, dim, vec_col)
+        indexed = indexed.select(
+            id_col,
+            quantize_expr(F.col(vec_col), mins, maxs).alias("q_vec"),
+            "cell",
+        )
+        manifest["sq8"] = {"mins": mins, "maxs": maxs}
+    indexed.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/vectors")
+    _centroid_df(spark, centroids).write.mode("overwrite").parquet(f"{path}/centroids")
     with open(os.path.join(path, "index.json"), "w") as f:
         json.dump(manifest, f)
     # a REBUILD over an existing path starts a fresh lineage: reset the
@@ -266,6 +289,15 @@ def append_to_ivf_index(
     assigned = assign_cells(new_vectors, centroids, vec_col).select(
         id_col, vec_col, "cell"
     )
+    if "sq8" in man:
+        from fluent_server_spark.operators.quantize import quantize_expr
+
+        sq = man["sq8"]
+        assigned = assigned.select(
+            id_col,
+            quantize_expr(F.col(vec_col), sq["mins"], sq["maxs"]).alias("q_vec"),
+            "cell",
+        )
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/increments/epoch={epoch}"
     )
@@ -299,23 +331,39 @@ def _write_base_state(path: str, state: dict) -> None:
     os.replace(tmp, os.path.join(path, "base.json"))
 
 
-def read_ivf_vectors(spark, path: str) -> DataFrame:
+def read_ivf_vectors(spark, path: str, raw: bool = False) -> DataFrame:
     """(id, embedding, cell) over the current base + all LIVE increment
     epochs. Epochs listed in base.json's folded list are skipped: they
     are already inside the base it points at, and only a crash in
     compaction's cleanup phase leaves their dirs on disk (reading them
-    would double-count)."""
+    would double-count). For an SQ8 index the default view DEQUANTIZES
+    to floats for scoring; `raw=True` returns the stored byte codes —
+    what compaction moves, so a fold never round-trips through the
+    quantizer (re-encoding reconstructed floats would be a silent
+    second quantization if the bounds ever changed)."""
     import glob as _glob
     import os
 
     man = read_ivf_manifest(path)
     state = _base_state(path)
-    cols = [man["id_col"], man["vec_col"], "cell"]
+    stored_vec = "q_vec" if "sq8" in man else man["vec_col"]
+    cols = [man["id_col"], stored_vec, "cell"]
     vecs = spark.read.parquet(f"{path}/{state['dir']}").select(*cols)
     for ep in sorted(_glob.glob(f"{path}/increments/epoch=*")):
         if os.path.basename(ep) in state["folded"]:
             continue
         vecs = vecs.unionByName(spark.read.parquet(ep).select(*cols))
+    if "sq8" in man and not raw:
+        from fluent_server_spark.operators.quantize import dequantize_expr
+
+        sq = man["sq8"]
+        vecs = vecs.select(
+            man["id_col"],
+            dequantize_expr(F.col("q_vec"), sq["mins"], sq["maxs"]).alias(
+                man["vec_col"]
+            ),
+            "cell",
+        )
     return vecs
 
 
@@ -416,7 +464,7 @@ def compact_ivf_index(spark, path: str) -> int:
     )
     if not epochs:
         return 0
-    merged = read_ivf_vectors(spark, path)
+    merged = read_ivf_vectors(spark, path, raw=True)  # stored repr, as-is
     cur = state["dir"]
     ver = int(cur.rsplit("_v", 1)[1]) if "_v" in cur else 0
     new_dir = f"vectors_v{ver + 1}"

@@ -78,3 +78,49 @@ def test_trainer_plan_has_no_explode(spark, vec_df):
     plan = vec_df.agg(*aggs)._jdf.queryExecution().executedPlan().toString()
     assert "Generate" not in plan and "Python" not in plan
     assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_sq8_ivf_index_end_to_end(spark, vec_df, tmp_path):
+    """Quantized persisted IVF: ~1 byte/dim at rest, append with frozen
+    bounds, compaction preserves results, recall >= 0.9 of the float
+    index's top-k."""
+    from fluent_server_spark.operators.ivf import (
+        append_to_ivf_index,
+        compact_ivf_index,
+        ivf_topk_from_index,
+        read_ivf_manifest,
+        train_centroids,
+        write_ivf_index,
+    )
+
+    cents = train_centroids(vec_df, k=6, dim=DIM, n_iter=10)
+    base = vec_df.filter(F.col("vec_id") < 90)
+    batch = vec_df.filter(F.col("vec_id") >= 90)
+    fpath, qpath = str(tmp_path / "f"), str(tmp_path / "q")
+    write_ivf_index(vec_df, fpath, cents)
+    write_ivf_index(base, qpath, cents, sq8=True)
+    append_to_ivf_index(batch, qpath, epoch=0)
+    assert "sq8" in read_ivf_manifest(qpath)
+    queries = vec_df.filter(
+        (F.col("vec_id") < 6) | (F.col("vec_id").between(100, 105))
+    )
+    fl = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk_from_index(spark, fpath, queries, k=5, nprobe=3).collect()
+    }
+    qz = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk_from_index(spark, qpath, queries, k=5, nprobe=3).collect()
+    }
+    assert len(fl & qz) / len(fl) >= 0.9, len(fl & qz) / len(fl)
+    # compaction keeps the quantized index byte-stable
+    before = sorted(
+        tuple(r)
+        for r in ivf_topk_from_index(spark, qpath, queries, k=5, nprobe=3).collect()
+    )
+    assert compact_ivf_index(spark, qpath) == 1
+    after = sorted(
+        tuple(r)
+        for r in ivf_topk_from_index(spark, qpath, queries, k=5, nprobe=3).collect()
+    )
+    assert before == after
