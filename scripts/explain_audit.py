@@ -731,6 +731,18 @@ def _extra_plans():
              "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
             ["CartesianProduct"],
         ),
+        # PQ encode: per-block literal-argmin projection (the IVF
+        # assign shape, once per block) — map-only, no shuffle/Python
+        "pq_encode (product quantization)": (
+            lambda spark: (lambda qz: (lambda emb: qz.pq_encode(
+                emb, qz.train_pq_codebooks(emb, dim=64, m=8, n_codes=16)
+            ))(load_table(spark, SF, "embeddings")))(
+                __import__("fluent_server_spark.operators.quantize",
+                           fromlist=["pq_encode"]),
+            ),
+            [],
+            ["Exchange", "Join", "Generate", "Python"],
+        ),
         # SQ8 quantization: encode is a map-only zip_with projection
         # (bounds as literals) — no shuffle, no Generate, no Python
         "quantize_embeddings (encode)": (

@@ -124,3 +124,64 @@ def test_sq8_ivf_index_end_to_end(spark, vec_df, tmp_path):
         for r in ivf_topk_from_index(spark, qpath, queries, k=5, nprobe=3).collect()
     )
     assert before == after
+
+
+# ------------------------------------------------- product quantization
+
+
+def test_pq_encode_decode_and_recall(spark, vec_df):
+    from fluent_server_spark.operators.quantize import (
+        pq_decode,
+        pq_encode,
+        train_pq_codebooks,
+    )
+    from fluent_server_spark.operators.similarity import brute_force_topk
+
+    books = train_pq_codebooks(vec_df, dim=DIM, m=8, n_codes=32)
+    assert len(books) == 8 and all(len(b) == 32 for b in books)
+    assert all(len(c) == DIM // 8 for b in books for c in b)
+
+    enc = pq_encode(vec_df, books).select("vec_id", "pq_codes")
+    codes = enc.collect()
+    assert all(0 <= c < 32 for r in codes for c in r.pq_codes)
+    assert all(len(r.pq_codes) == 8 for r in codes)
+
+    corpus = pq_decode(enc, books, out_col="embedding")
+    # reconstruction: every decoded vector is its blocks' centroids
+    import numpy as np
+
+    one = corpus.filter(F.col("vec_id") == 0).collect()[0]
+    want = np.concatenate([np.array(books[b][one.pq_codes[b]]) for b in range(8)])
+    assert np.allclose(np.array(one.embedding), want)
+
+    queries = vec_df.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(queries, vec_df, k=5).collect()
+    }
+    viapq = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(queries, corpus, k=5).collect()
+    }
+    recall = len(exact & viapq) / len(exact)
+    assert recall >= 0.7, recall  # 8 bytes/vector vs 128 — lossy by design
+
+
+def test_pq_validation(spark, vec_df):
+    from fluent_server_spark.operators.quantize import train_pq_codebooks
+
+    with pytest.raises(ValueError, match="divide"):
+        train_pq_codebooks(vec_df, dim=DIM, m=5)
+    with pytest.raises(ValueError, match="byte"):
+        train_pq_codebooks(vec_df, dim=DIM, m=4, n_codes=512)
+
+
+def test_pq_encode_plan_is_narrow(spark, vec_df):
+    from fluent_server_spark.operators.quantize import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks(vec_df, dim=DIM, m=4, n_codes=8)
+    plan = pq_encode(vec_df, books)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan and "Python" not in plan
