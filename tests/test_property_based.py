@@ -510,3 +510,50 @@ def test_banded_hamming_matches_brute_oracle(spark, sigs, ham_bands):
             if d <= max_hamming:
                 want.add((a, b, d))
     assert got == want
+
+
+# ------------------------------------------------- SQ8 quantization
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_sq8_roundtrip_bound_property(spark, vecs):
+    """For RANDOM corpora (duplicates, constants, extremes included):
+    every reconstructed value is within (max-min)/255/2 of the
+    original, and degenerate dimensions decode exactly."""
+    import numpy as np
+
+    from fluent_server_spark.operators.quantize import (
+        dequantize_embeddings,
+        embedding_bounds,
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    mins, maxs = embedding_bounds(df, 4)
+    deq = dequantize_embeddings(
+        quantize_embeddings(df, mins, maxs).select("vec_id", "q_embedding"),
+        mins, maxs, out_col="d",
+    )
+    got = {r.vec_id: list(r.d) for r in deq.collect()}
+    bound = [(mx - mn) / 255.0 / 2.0 + 1e-9 * max(abs(mx), abs(mn), 1.0)
+             for mn, mx in zip(mins, maxs)]
+    for i, v in enumerate(vecs):
+        for j in range(4):
+            err = abs(got[i][j] - float(v[j]))
+            assert err <= bound[j], (i, j, err, bound[j])
+            if maxs[j] == mins[j]:
+                assert got[i][j] == mins[j]
