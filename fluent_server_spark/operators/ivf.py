@@ -187,8 +187,10 @@ def write_ivf_index(
     assign_cells would otherwise give them a NULL-ish cell silently.
 
     `sq8=True` stores the inverted lists SCALAR-QUANTIZED
-    (operators/quantize.py — one byte per dimension, ~8x smaller at
-    rest): per-dim bounds are learned from this corpus, recorded in
+    (operators/quantize.py — byte-range codes per dimension; the
+    on-disk shrink comes from Parquet's encoding of the 256-value
+    domain, see quantize.py's header caveat): per-dim bounds are
+    learned from this corpus, recorded in
     the manifest, and FROZEN for the index lifetime (appends encode
     with the stored bounds, clamping drift — same immutability
     contract as the centroids). Probes dequantize on read; results are
@@ -202,12 +204,13 @@ def write_ivf_index(
     dim = len(centroids[0])
     if any(len(c) != dim for c in centroids):
         raise ValueError("centroids are ragged: all must share one dimension")
-    bad = corpus.filter(F.size(F.col(vec_col)) != dim).limit(1).count()
-    if bad:
-        raise ValueError(
-            f"corpus contains vectors whose dimension != centroid dim {dim} "
-            "— refusing to build an index that would silently mis-route them"
-        )
+    if not sq8:
+        bad = corpus.filter(F.size(F.col(vec_col)) != dim).limit(1).count()
+        if bad:
+            raise ValueError(
+                f"corpus contains vectors whose dimension != centroid dim {dim} "
+                "— refusing to build an index that would silently mis-route them"
+            )
     indexed = assign_cells(corpus, centroids, vec_col).select(id_col, vec_col, "cell")
     manifest = {
         "k": len(centroids),
@@ -222,7 +225,10 @@ def write_ivf_index(
             quantize_expr,
         )
 
-        mins, maxs = embedding_bounds(corpus, dim, vec_col)
+        # check_dim folds the ragged-size validation into the SAME
+        # bounds pass — the sq8 build pays two corpus scans (bounds,
+        # assign+write), not three
+        mins, maxs = embedding_bounds(corpus, dim, vec_col, check_dim=True)
         indexed = indexed.select(
             id_col,
             quantize_expr(F.col(vec_col), mins, maxs).alias("q_vec"),
@@ -382,8 +388,11 @@ def ivf_topk_from_index(
     routing table is small by construction) and pushed as a LITERAL
     partition filter, so the scan provably touches only the probed
     cell directories; scoring is then the exact same equi-join +
-    window kernel as the inline path, hence bit-identical to
-    ivf_topk over base + increments (pinned in tests/test_ivf.py)."""
+    window kernel as the inline path — bit-identical to ivf_topk over
+    base + increments for a FLOAT index (pinned in tests/test_ivf.py).
+    For an sq8 index scoring runs on dequantized reconstructions, so
+    results are approximate within the SQ8 bound rather than
+    bit-equal (recall pinned in tests/test_quantize.py)."""
     man = read_ivf_manifest(path)
     centroids = read_ivf_centroids(spark, path)
     cent = _centroid_df(spark, centroids)

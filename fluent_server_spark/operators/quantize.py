@@ -1,9 +1,13 @@
 """Scalar quantization (SQ8) for embedding columns — the FAISS-style
 storage dial (public knowledge: faiss ScalarQuantizer QT_8bit): each
-float64 dimension maps to one byte against per-dimension [min, max]
-bounds learned from the corpus, shrinking a vector table ~8x at rest
-at a bounded reconstruction error of (max-min)/255/2 per dimension
-(round-then-midpoint decode).
+float64 dimension maps to a byte-RANGE code (0..255) against
+per-dimension [min, max] bounds learned from the corpus, at a bounded
+reconstruction error of (max-min)/255/2 per dimension
+(round-then-midpoint decode). Codes are stored as array<smallint>
+(tinyint is signed and cannot hold 0..255), so the at-rest shrink
+comes from Parquet's dictionary/bit-packing of the 256-value domain —
+in practice ~1 byte/dim + page overhead, a large multiple smaller than
+8-byte doubles, but not a fixed 8x guarantee.
 
 Everything is native Catalyst, no Python anywhere:
 
@@ -28,21 +32,62 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def embedding_bounds(
+def bounds_agg(
     vectors: DataFrame, dim: int, vec_col: str = "embedding"
-) -> tuple[list[float], list[float]]:
-    """Per-dimension (mins, maxs) in ONE shuffle-free-until-final
-    aggregation: 2*dim min/max accumulators over element_at
-    projections. Rows whose array is shorter than `dim` contribute
-    NULLs (ignored by min/max) — pair with the loud dim validation the
-    IVF index build already does if mixed dims are a corruption signal
-    in your corpus."""
+) -> DataFrame:
+    """The one-row bounds aggregation (exposed so tests assert the
+    PRODUCTION plan has no Generate/Python): 2*dim min/max accumulators
+    over element_at projections, plus two corruption counters — rows
+    with NaN anywhere (a single NaN would otherwise poison its whole
+    dimension for EVERY vector: max() propagates it into the stored
+    range and dequantize reconstructs NaN index-wide) and rows whose
+    size differs from `dim`."""
     aggs = []
     for i in range(dim):
         e = F.element_at(F.col(vec_col), i + 1)
         aggs.append(F.min(e).alias(f"mn{i}"))
         aggs.append(F.max(e).alias(f"mx{i}"))
-    row = vectors.agg(*aggs).collect()[0]
+    aggs.append(
+        F.sum(
+            F.exists(F.col(vec_col), lambda x: F.isnan(x)).cast("long")
+        ).alias("n_nan")
+    )
+    aggs.append(
+        F.sum((F.size(F.col(vec_col)) != dim).cast("long")).alias("n_badsize")
+    )
+    return vectors.agg(*aggs)
+
+
+def embedding_bounds(
+    vectors: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    check_dim: bool = False,
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (mins, maxs) in ONE shuffle-free-until-final
+    aggregation (see bounds_agg). Fails loud on the inputs that would
+    silently corrupt the quantizer: an empty/all-NULL corpus (no bounds
+    to learn) and NaN elements (dimension-wide poison). `check_dim=True`
+    additionally rejects ragged sizes in the SAME pass — callers that
+    already need that validation (the sq8 index build) fold it in here
+    instead of paying a second corpus scan."""
+    row = bounds_agg(vectors, dim, vec_col).collect()[0]
+    if row["n_nan"]:
+        raise ValueError(
+            f"{row['n_nan']} vector(s) contain NaN — a single NaN poisons "
+            "its whole dimension for every stored vector (max() propagates "
+            "into the learned range); drop or repair them first"
+        )
+    if check_dim and row["n_badsize"]:
+        raise ValueError(
+            f"{row['n_badsize']} vector(s) have size != {dim} — refusing to "
+            "learn bounds that would silently mis-quantize them"
+        )
+    if row["mn0"] is None:
+        raise ValueError(
+            "cannot learn quantization bounds from an empty corpus (or an "
+            "all-NULL vector column)"
+        )
     mins = [float(row[f"mn{i}"]) for i in range(dim)]
     maxs = [float(row[f"mx{i}"]) for i in range(dim)]
     return mins, maxs
@@ -127,8 +172,11 @@ def train_pq_codebooks(
     trained on a bounded sample (same driver-side Lloyd's recipe and
     budget as train_centroids — at 10^12 rows you train on ~10^5-10^6
     sampled rows, the standard recipe). Returns m codebooks, each
-    n_codes x (dim/m). Encoded vectors cost m bytes (n_codes <= 256)
-    against dim*8 for floats — 64x smaller at dim=64, m=8."""
+    n_codes x (dim/m). Encoded vectors carry m byte-range codes
+    (n_codes <= 256; stored as smallint — see the module header's
+    at-rest caveat) against dim 8-byte floats: ~64x less information
+    at dim=64, m=8, with the on-disk ratio set by Parquet's encoding
+    of the narrow domain."""
     import numpy as np
 
     if dim % m != 0:
@@ -136,10 +184,21 @@ def train_pq_codebooks(
     if n_codes > 256:
         raise ValueError("n_codes > 256 no longer fits one byte per block")
     sub = dim // m
-    sample = np.array(
-        vectors.select(vec_col).limit(sample_rows).toPandas()[vec_col].tolist(),
-        dtype=np.float64,
-    )
+    raw = vectors.select(vec_col).limit(sample_rows).toPandas()[vec_col].tolist()
+    if not raw:
+        raise ValueError("cannot train PQ codebooks on an empty corpus")
+    bad = [i for i, v in enumerate(raw) if v is None or len(v) != dim]
+    if bad:
+        raise ValueError(
+            f"{len(bad)} sampled vector(s) have size != {dim} (first at "
+            f"sample index {bad[0]}) — refusing to train on ragged input"
+        )
+    sample = np.array(raw, dtype=np.float64)
+    if np.isnan(sample).any():
+        raise ValueError(
+            "sampled vectors contain NaN — k-means means would propagate "
+            "it into the codebooks; drop or repair them first"
+        )
     rng = np.random.RandomState(seed)
     books: list[list[list[float]]] = []
     for b in range(m):

@@ -734,11 +734,13 @@ def _extra_plans():
         # PQ encode: per-block literal-argmin projection (the IVF
         # assign shape, once per block) — map-only, no shuffle/Python
         "pq_encode (product quantization)": (
-            lambda spark: (lambda qz: (lambda emb: qz.pq_encode(
-                emb, qz.train_pq_codebooks(emb, dim=64, m=8, n_codes=16)
+            lambda spark: (lambda qz, vq: (lambda emb: qz.pq_encode(
+                emb, qz.train_pq_codebooks(emb, dim=vq.EMB_DIM, m=8, n_codes=16)
             ))(load_table(spark, SF, "embeddings")))(
                 __import__("fluent_server_spark.operators.quantize",
                            fromlist=["pq_encode"]),
+                __import__("fluent_server_spark.queries.vectors",
+                           fromlist=["EMB_DIM"]),
             ),
             [],
             ["Exchange", "Join", "Generate", "Python"],
@@ -746,11 +748,13 @@ def _extra_plans():
         # SQ8 quantization: encode is a map-only zip_with projection
         # (bounds as literals) — no shuffle, no Generate, no Python
         "quantize_embeddings (encode)": (
-            lambda spark: (lambda qz: (lambda emb: qz.quantize_embeddings(
-                emb, *qz.embedding_bounds(emb, 64)
+            lambda spark: (lambda qz, vq: (lambda emb: qz.quantize_embeddings(
+                emb, *qz.embedding_bounds(emb, vq.EMB_DIM)
             ))(load_table(spark, SF, "embeddings")))(
                 __import__("fluent_server_spark.operators.quantize",
                            fromlist=["quantize_embeddings"]),
+                __import__("fluent_server_spark.queries.vectors",
+                           fromlist=["EMB_DIM"]),
             ),
             [],
             ["Exchange", "Join", "Generate", "Python"],

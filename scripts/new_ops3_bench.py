@@ -96,10 +96,16 @@ def main() -> int:
     calibration = round(8 * 4_000_000 / (time.time() - t0) / 1e6, 1)
     out = {"sf": 0.1, "calibration_mops": calibration, "ops": {}}
     for op in OPS:
-        r = subprocess.run(
-            [sys.executable, "-c", WORKER, op],
-            capture_output=True, text=True, timeout=900,
-        )
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", WORKER, op],
+                capture_output=True, text=True, timeout=900,
+            )
+        except subprocess.TimeoutExpired:
+            # one runaway op must not discard the walls already measured
+            out["ops"][op] = {"error": "timeout after 900s"}
+            print(op, "TIMEOUT", flush=True)
+            continue
         line = [ln for ln in r.stdout.splitlines() if ln.startswith("ISOLATED")]
         if not line:
             out["ops"][op] = {"error": r.stderr[-400:]}

@@ -68,16 +68,41 @@ def test_ann_recall_through_quantized_corpus(spark, vec_df):
 
 
 def test_trainer_plan_has_no_explode(spark, vec_df):
-    # the bounds agg must be a plain partial+final aggregation — no
-    # Generate (row blowup), no Python
-    aggs = []
-    for i in range(DIM):
-        e = F.element_at(F.col("embedding"), i + 1)
-        aggs.append(F.min(e).alias(f"mn{i}"))
-        aggs.append(F.max(e).alias(f"mx{i}"))
-    plan = vec_df.agg(*aggs)._jdf.queryExecution().executedPlan().toString()
+    # the PRODUCTION bounds agg must be a plain partial+final
+    # aggregation — no Generate (row blowup), no Python
+    from fluent_server_spark.operators.quantize import bounds_agg
+
+    plan = bounds_agg(vec_df, DIM)._jdf.queryExecution().executedPlan().toString()
     assert "Generate" not in plan and "Python" not in plan
     assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_bounds_fail_loud_on_bad_corpora(spark):
+    from fluent_server_spark.operators.quantize import (
+        embedding_bounds,
+        train_pq_codebooks,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        embedding_bounds(empty, 4)
+    with pytest.raises(ValueError, match="empty corpus"):
+        train_pq_codebooks(empty, dim=4, m=2, n_codes=4)
+    nan = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [float("nan"), 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="NaN"):
+        embedding_bounds(nan, 2)
+    with pytest.raises(ValueError, match="NaN"):
+        train_pq_codebooks(nan, dim=2, m=1, n_codes=2)
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="size != 2"):
+        embedding_bounds(ragged, 2, check_dim=True)
+    with pytest.raises(ValueError, match="size != 2"):
+        train_pq_codebooks(ragged, dim=2, m=1, n_codes=2)
 
 
 def test_sq8_ivf_index_end_to_end(spark, vec_df, tmp_path):
