@@ -21,6 +21,7 @@ Scale notes (the whole point of each design):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -280,6 +281,185 @@ def jaccard_join_count(
     )
 
 
+def _block_overlap_fn(n_blocks: int, threshold: float, margin: float = 1e-6):
+    """applyInPandas kernel for jaccard_join_blocks: one task owns one
+    BLOCK PAIR (i, j) of the doc-block partition and computes the FULL
+    overlap count for every doc pair (a in block i, b in block j) from
+    the two blocks' token streams — entirely in numpy (grouped cartesian
+    + one sort-based unique), so the threshold filter applies INSIDE the
+    task and only surviving pairs are emitted. The overlap `o` and sizes
+    are exact integers; the jaccard division/round happens back in
+    Catalyst on the survivors, so emitted values are bit-identical to
+    the join+agg kernels. The in-kernel screen keeps pairs with
+    o/(sa+sb-o) >= threshold - margin — `round(jac, 6) >= t` can admit
+    jac down to t - 5e-7, so the margin is conservative."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "a_id": pd.Series([], dtype="int64"),
+            "b_id": pd.Series([], dtype="int64"),
+            "a_sz": pd.Series([], dtype="int32"),
+            "b_sz": pd.Series([], dtype="int32"),
+            "o": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def _tok_stream(hgs: list, rows: np.ndarray) -> tuple:
+        """(sorted token array, doc-row of each token) for `rows`."""
+        if len(rows) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        flat = np.concatenate([np.asarray(hgs[r], dtype=np.int64) for r in rows])
+        doc = np.repeat(rows, [len(hgs[r]) for r in rows])
+        order = np.argsort(flat, kind="stable")
+        return flat[order], doc[order]
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return empty
+        task = int(pdf["task"].iloc[0])
+        i, j = divmod(task, n_blocks)
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        blks = pdf["_blk"].to_numpy()
+        hgs = pdf["hg"].to_list()
+        sz = np.array([len(x) for x in hgs], dtype=np.int64)
+        m = len(ids)
+        if i == j:
+            rows = np.arange(m)
+            hA, dA = _tok_stream(hgs, rows)
+            hB, dB = hA, dA
+        else:
+            hA, dA = _tok_stream(hgs, np.flatnonzero(blks == i))
+            hB, dB = _tok_stream(hgs, np.flatnonzero(blks == j))
+        if len(hA) == 0 or len(hB) == 0:
+            return empty
+        uhA, stA = np.unique(hA, return_index=True)
+        cntA = np.diff(np.r_[stA, len(hA)])
+        uhB, stB = np.unique(hB, return_index=True)
+        cntB = np.diff(np.r_[stB, len(hB)])
+        common, ia, ib = np.intersect1d(
+            uhA, uhB, assume_unique=True, return_indices=True
+        )
+        if len(common) == 0:
+            return empty
+        cA, cB = cntA[ia], cntB[ib]
+        oA, oB = stA[ia], stB[ib]
+        # grouped cartesian WITHOUT any integer division (the divmod
+        # formulation measured 3-10x slower): A-side entries of the
+        # common groups via the ranges trick, then per-entry repeats.
+        totA = int(cA.sum())
+        eidx = (
+            np.repeat(oA, cA)
+            + np.arange(totA, dtype=np.int64)
+            - np.repeat(np.cumsum(cA) - cA, cA)
+        )
+        AE = dA[eidx]  # A entries, group-contiguous
+        repc = np.repeat(cB, cA)  # pair count per A entry
+        total = int(repc.sum())
+        p = np.repeat(AE, repc)
+        bstart = np.repeat(np.repeat(oB, cA), repc)
+        w = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(repc) - repc, repc
+        )
+        q = dB[bstart + w]
+        if i == j:
+            # self cross generated both orientations + self-hits: keep
+            # the id-ordered half (each unordered pair exactly once)
+            keep = ids[p] < ids[q]
+            p, q = p[keep], q[keep]
+        if len(p) == 0:
+            return empty
+        # int32 keys when they fit: halves the sort's memory traffic
+        if m * m < 2**31:
+            key = (p * m + q).astype(np.int32)
+        else:
+            key = p.astype(np.int64) * m + q
+        upair, o = np.unique(key, return_counts=True)
+        pp, qq = np.divmod(upair.astype(np.int64), m)
+        a_id, b_id = ids[pp], ids[qq]
+        a_sz, b_sz = sz[pp], sz[qq]
+        # orient cross-block pairs by id (diagonal already oriented)
+        flip = a_id > b_id
+        if flip.any():
+            a_id, b_id = np.where(flip, b_id, a_id), np.where(flip, a_id, b_id)
+            a_sz, b_sz = np.where(flip, b_sz, a_sz), np.where(flip, a_sz, b_sz)
+        jac = o.astype(np.float64) / (a_sz + b_sz - o).astype(np.float64)
+        keep = jac >= threshold - margin
+        return pd.DataFrame(
+            {
+                "a_id": a_id[keep],
+                "b_id": b_id[keep],
+                "a_sz": a_sz[keep].astype(np.int32),
+                "b_sz": b_sz[keep].astype(np.int32),
+                "o": o[keep],
+            }
+        )
+
+    return fn
+
+
+def jaccard_join_blocks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+    n_blocks: int = 16,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join via BLOCK-PAIR COMPLETE
+    COUNTING (r6). The count kernel (jaccard_join_count) is the right
+    ALGORITHM — overlap counts, no array verify — but its physical plan
+    materializes sum(df^2) join rows and then EXCHANGES the partially
+    aggregated pair counts (~|pairs sharing a token| rows: measured
+    ~127M generated / ~100M exchanged at sf1.0, 36.9 s driver-run),
+    because no single task ever holds a pair's complete count. Here the
+    doc set is hash-partitioned into `n_blocks` blocks and each of the
+    n_blocks*(n_blocks+1)/2 tasks owns one block PAIR: it receives both
+    blocks' full token arrays (each doc's hg array ships n_blocks
+    times — B x corpus tokens, ~170 MB at sf1.0, vs the 2.8 GB pair
+    exchange), computes COMPLETE overlap counts for its pairs in numpy,
+    applies the jaccard threshold locally, and emits only survivors
+    (guide §2.3: shuffle keys and metadata, never the quadratic
+    intermediate). The jaccard division + round + filter run in
+    Catalyst on the surviving (a_id, b_id, a_sz, b_sz, o) rows — the
+    IDENTICAL integer inputs and double arithmetic as the other
+    kernels, so the output is bit-identical (pinned in
+    tests/test_dedup.py). Every unordered pair belongs to exactly one
+    block pair, so no cross-task dedup is needed.
+
+    Scale: per-task pair volume is sum(df_i * df_j) ~ sum(df^2)/B^2 —
+    `n_blocks` is the memory/parallelism dial (B^2 grows tasks
+    quadratically while per-task memory shrinks quadratically); the
+    hot-token skew cap story is unchanged from jaccard_join_count
+    (a stop-gram-heavy corpus should exact-dedup / cap first)."""
+    sh = with_hashed_shingles(
+        docs.filter(F.col(text_col).isNotNull()), text_col, n
+    ).select(F.col(id_col).alias("_id"), "hg")
+    blk = F.pmod(F.hash(F.col("_id")), F.lit(n_blocks))
+    tasks = F.transform(
+        F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+        lambda o: F.least(blk, o) * n_blocks + F.greatest(blk, o),
+    )
+    rep = (
+        sh.withColumn("_blk", blk)
+        .withColumn("task", F.explode(tasks))
+        .select("task", "_blk", "_id", "hg")
+    )
+    surv = rep.groupBy("task").applyInPandas(
+        _block_overlap_fn(n_blocks, threshold),
+        "a_id long, b_id long, a_sz int, b_sz int, o long",
+    )
+    jac = F.col("o").cast("double") / (
+        (F.col("a_sz") + F.col("b_sz") - F.col("o")).cast("double")
+    )
+    return (
+        surv.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
 def jaccard_join_auto(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -289,14 +469,17 @@ def jaccard_join_auto(
     crossover: float = 0.5,
 ) -> DataFrame:
     """Exact Jaccard join with threshold-aware kernel choice: the
-    overlap-count kernel below `crossover` (loose thresholds — long
-    prefixes make prefix-filtering pay full join cost PLUS the array
-    verify), the prefix-filter kernel at or above it (tight thresholds —
-    short prefixes collapse the candidate join). Both are exact and
-    output-identical (pinned against the crossJoin baseline in
-    tests/test_dedup.py), so the choice is pure physical planning."""
+    block-pair complete-count kernel below `crossover` (loose
+    thresholds — long prefixes make prefix-filtering pay full join cost
+    PLUS the array verify, and the overlap-count kernel's pair exchange
+    goes quadratic; the block kernel confines the quadratic inside
+    numpy tasks and never exchanges pair rows), the prefix-filter
+    kernel at or above it (tight thresholds — short prefixes collapse
+    the candidate join). All kernels are exact and output-identical
+    (pinned against the crossJoin baseline in tests/test_dedup.py), so
+    the choice is pure physical planning."""
     if threshold < crossover:
-        return jaccard_join_count(docs, id_col, text_col, n, threshold)
+        return jaccard_join_blocks(docs, id_col, text_col, n, threshold)
     return jaccard_join_prefix(docs, id_col, text_col, n, threshold)
 
 
@@ -340,6 +523,50 @@ def with_hashed_shingles(
     return sh.withColumn(
         out, F.array_distinct(F.transform("_grams", hash_shingle))
     ).drop("_grams")
+
+
+def minhash_signature_arrow(
+    hashed: F.Column, n_perm: int = 64, seed: int = 1337
+) -> F.Column:
+    """Arrow-vectorized twin of minhash_signature (r6): the same
+    (a*h + b) mod p running-min per permutation, computed in numpy over
+    whole record batches instead of a Catalyst fold that allocates a
+    64-wide array per shingle step. Pure int64 arithmetic with no
+    intermediate exceeding 2^62 (p = 2^31 - 1, a/b < 2^31, h % p <
+    2^31), so the values are BIT-IDENTICAL to the fold (pinned in
+    tests/test_dedup.py) — min is order-free. Measured: the fold's
+    per-element zip_with/aggregate churn was the dominant cost of the
+    minhash signature stage at sf1.0 (~168M modular steps)."""
+    coeffs = minhash_coeffs(n_perm, seed)
+
+    @F.pandas_udf("array<bigint>")
+    def mh(hg: pd.Series) -> pd.Series:
+        import numpy as np
+
+        A = np.array([a for a, _ in coeffs], dtype=np.int64)
+        B = np.array([b for _, b in coeffs], dtype=np.int64)
+        P = _MERSENNE
+        vals = hg.to_list()
+        out = np.full((len(vals), len(A)), P, dtype=np.int64)
+        CH = 512  # docs per inner chunk: bounds the (grams x perms) temp
+        for s in range(0, len(vals), CH):
+            chunk = vals[s : s + CH]
+            lens = np.array([len(x) for x in chunk], dtype=np.int64)
+            if lens.sum() == 0:
+                continue  # empty arrays keep the fold's init value (P)
+            flat = np.concatenate(
+                [np.asarray(x, dtype=np.int64) for x in chunk if len(x)]
+            )
+            M = ((flat % P)[:, None] * A[None, :] + B[None, :]) % P
+            nz = lens > 0
+            offs = (np.cumsum(lens) - lens)[nz]
+            red = np.minimum.reduceat(M, offs, axis=0)
+            block = out[s : s + len(chunk)]
+            block[nz] = red
+            out[s : s + len(chunk)] = block
+        return pd.Series(list(out))
+
+    return mh(hashed)
 
 
 def minhash_signature(
@@ -392,9 +619,13 @@ def minhash_lsh_pairs(
     threshold: float = 0.2,
     max_bucket_size: int | None = None,
     materialize: bool = True,
+    sig_impl: str = "arrow",
 ) -> DataFrame:
     """Near-dup pairs at scale: minhash -> band -> bucket equi-join ->
-    exact-Jaccard verify on the candidates only.
+    exact-Jaccard verify on the candidates only. `sig_impl` picks the
+    signature kernel: 'arrow' (default, r6 — numpy batch min, see
+    minhash_signature_arrow) or 'fold' (the pure-Catalyst fold; both
+    bit-identical, pinned in tests).
 
     With n_perm=64, n_bands=16 (rows/band=4) the LSH S-curve crosses ~50%
     candidate probability at jaccard ~ (1/16)^(1/4) ~ 0.5; pairs above
@@ -417,9 +648,12 @@ def minhash_lsh_pairs(
     # `size(hg) > 0` filter is pushed below the projection where it
     # re-evaluates the whole shingle+md5+fold chain in an interpreted
     # Filter node — measured 7x the entire signature stage at sf0.1.
+    sig_expr = (
+        minhash_signature_arrow if sig_impl == "arrow" else minhash_signature
+    )
     sig = with_hashed_shingles(
         docs.filter(F.col(text_col).isNotNull()), text_col, n
-    ).withColumn("sig", minhash_signature(F.col("hg"), n_perm))
+    ).withColumn("sig", sig_expr(F.col("hg"), n_perm))
     sig = sig.select(id_col, "hg", "sig")
     # sig feeds three consumers (band explode + both verify sides).
     # Measured at sf0.1: columnar persist() LOSES to recompute (encoding
@@ -486,6 +720,7 @@ def _minhash_sig(
     n_perm: int,
     seed: int = 1337,
     materialize: bool = True,
+    sig_impl: str = "arrow",
 ) -> DataFrame:
     """(id, hg, sig): hashed shingles + minhash signature (narrow).
 
@@ -493,10 +728,13 @@ def _minhash_sig(
     empty iff text is NULL, and a post-hoc `size(hg) > 0` filter gets
     pushed below the projection where it re-evaluates the whole
     shingle+md5+fold chain interpreted (measured 7x the signature
-    stage; see minhash_lsh_pairs)."""
+    stage; see minhash_lsh_pairs). `sig_impl` as in minhash_lsh_pairs."""
+    sig_expr = (
+        minhash_signature_arrow if sig_impl == "arrow" else minhash_signature
+    )
     sig = with_hashed_shingles(
         docs.filter(F.col(text_col).isNotNull()), text_col, n
-    ).withColumn("sig", minhash_signature(F.col("hg"), n_perm, seed))
+    ).withColumn("sig", sig_expr(F.col("hg"), n_perm, seed))
     sig = sig.select(id_col, "hg", "sig")
     # typically two consumers (bands + verify): materialize once
     return sig.localCheckpoint(eager=True) if materialize else sig

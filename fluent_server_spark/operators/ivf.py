@@ -20,6 +20,7 @@ nprobe=1 scans ~N/k of the corpus per query.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -76,16 +77,62 @@ def _centroid_df(spark, centroids: list[list[float]]) -> DataFrame:
     )
 
 
+def _exact_d2_matrix(V: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """(rows, k) squared distances with the SEQUENTIAL per-dimension
+    association Catalyst's `_sq_dist` fold uses — acc = acc + d_k*d_k in
+    index order, vectorized across rows — so every value is BIT-IDENTICAL
+    to the literal-centroid expression (argmin ties therefore break
+    identically too)."""
+    m, k = len(V), len(C)
+    D2 = np.empty((m, k))
+    for c in range(k):
+        acc = np.zeros(m)
+        for kk in range(V.shape[1]):
+            d = V[:, kk] - C[c, kk]
+            acc = acc + d * d
+        D2[:, c] = acc
+    return D2
+
+
+def assign_cells_arrow(centroids: list[list[float]]):
+    """Arrow-vectorized nearest-centroid assignment (r6): the same
+    exact-sequential squared-distance fold as the Catalyst literal
+    expression (see _exact_d2_matrix) with numpy doing the per-row work
+    in batches. Bit-identical cells (pinned in tests/test_ivf.py); the
+    Catalyst form (`assign_cells(..., impl='fold')`) measured ~9 s at
+    sf1.0 for 20k x 8 x 64 dims because the k*dim*3-op fold runs as an
+    interpreted expression tree per row."""
+    C = np.array(centroids, dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def cellf(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="int32")
+        V = np.array(emb.to_list(), dtype=np.float64)
+        D2 = _exact_d2_matrix(V, C)
+        return pd.Series(D2.argmin(axis=1).astype(np.int32), index=emb.index)
+
+    return cellf
+
+
 def assign_cells(
     vectors: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
     out: str = "cell",
+    impl: str = "arrow",
 ) -> DataFrame:
-    """Nearest-centroid assignment as a PURE NARROW expression: the
-    centroids ride the plan as literals, the argmin is
-    array_position(d2s, min(d2s)) — no join, no shuffle, no window.
-    Ties break to the lowest cell (first position)."""
+    """Nearest-centroid assignment — narrow/map-only either way, no
+    join, no shuffle, no window. Ties break to the lowest cell (first
+    position). `impl='arrow'` (default, r6) evaluates the k x dim
+    distance folds in numpy with the identical sequential association
+    (assign_cells_arrow — bit-equal, pinned in tests); 'fold' keeps the
+    pure-Catalyst literal expression (array_position over the literal
+    distance array) for plans that must avoid Python workers."""
+    if impl == "arrow":
+        return vectors.withColumn(
+            out, assign_cells_arrow(centroids)(F.col(vec_col))
+        )
     cents = F.array(
         *[F.array(*[F.lit(x) for x in c]) for c in centroids]
     )

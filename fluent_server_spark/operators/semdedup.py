@@ -51,11 +51,50 @@ no corpus semantics) — mandated training-data operator family.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from fluent_server_spark.operators.ivf import _sq_dist
+from fluent_server_spark.operators.ivf import _exact_d2_matrix, _sq_dist
 from fluent_server_spark.operators.similarity import dot, l2_norm
+
+
+def _assign_unit_arrow(centroids: list[list[float]]):
+    """Arrow-vectorized (cell, centroid_d2, unit vector) in ONE pass —
+    the numpy twin of with_cell_and_dist + l2_norm + the normalize
+    transform. Every value is BIT-IDENTICAL to the Catalyst expressions:
+    squared distances use the exact sequential fold (ivf._exact_d2_matrix),
+    argmin takes the first minimum like array_position, the norm is the
+    sequential sum-of-squares fold, and the per-element division x/_n is
+    a single IEEE op either way. Motivation (r6, measured): the literal
+    Catalyst form cost ~9 s alone at sf1.0 — the k x dim fold runs
+    interpreted per row, and CollapseProject inlines the norm aggregate
+    into the normalize lambda where it re-evaluates per ELEMENT."""
+    C = np.array(centroids, dtype=np.float64)
+
+    @F.pandas_udf("struct<cell:int, d2:double, v:array<double>>")
+    def assign(emb: pd.Series) -> pd.DataFrame:
+        if len(emb) == 0:
+            return pd.DataFrame({"cell": [], "d2": [], "v": []})
+        V = np.array(emb.to_list(), dtype=np.float64)
+        D2 = _exact_d2_matrix(V, C)
+        cell = D2.argmin(axis=1)
+        d2 = D2[np.arange(len(V)), cell]
+        acc = np.zeros(len(V))
+        for kk in range(V.shape[1]):
+            acc = acc + V[:, kk] * V[:, kk]
+        U = V / np.sqrt(acc)[:, None]
+        return pd.DataFrame(
+            {
+                "cell": cell.astype(np.int32),
+                "d2": d2,
+                "v": list(U),
+            },
+            index=emb.index,
+        )
+
+    return assign
 
 
 def with_cell_and_dist(
@@ -77,6 +116,51 @@ def with_cell_and_dist(
     )
 
 
+def _cell_flags_fn(eps: float, id_col: str, margin: float = 1e-9):
+    """applyInPandas kernel: within one cell, flag every vector that has
+    an earlier-ranked (farther-from-centroid) neighbor with unit-dot >=
+    eps — ONE BLAS gram matrix per cell instead of a rank-filtered
+    self-join over O(cell^2) pair rows (guide §2.3/§8: the decision
+    needs only dot >= eps per pair; compute it as a matrix product, ship
+    nothing per pair).
+
+    Exactness contract: the BLAS product re-associates the 64-term dot
+    sum, so the gram value is only a SCREEN; any entry within `margin`
+    of eps is re-scored with the sequential per-dimension fold (the
+    exact association Catalyst's `dot` uses over the SAME `_v` doubles
+    that crossed the Arrow boundary) and the eps comparison uses that
+    bit-identical value. The two summation orders differ by < 1e-12 for
+    unit vectors, so entries outside the margin band cannot flip."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("cell_rank", kind="mergesort").reset_index(drop=True)
+        m = len(pdf)
+        U = np.array(pdf["_v"].to_list(), dtype=np.float64)
+        dropped = np.zeros(m, dtype=bool)
+        if m > 1:
+            col = np.arange(m)
+            blk = max(1, min(m, 8 * 1024 * 1024 // max(m, 1)))
+            for s in range(0, m, blk):
+                G = U[s : s + blk] @ U.T  # rows = earlier ranks s..s+b
+                upper = col[None, :] > (s + np.arange(G.shape[0]))[:, None]
+                near = np.abs(G - eps) < margin
+                for bi, bj in zip(*np.nonzero(near & upper)):
+                    # exact sequential fold for the rare margin entries
+                    acc = 0.0
+                    a, b = U[s + bi], U[bj]
+                    for k in range(len(a)):
+                        acc = acc + a[k] * b[k]
+                    G[bi, bj] = eps if acc >= eps else eps - 2 * margin
+                dropped |= ((G >= eps) & upper).any(axis=0)
+        out = pdf[[id_col, "cell", "cell_rank"]].copy()
+        out["is_semdup"] = dropped
+        return out
+
+    return fn
+
+
 def semdedup(
     vectors: DataFrame,
     centroids: list[list[float]],
@@ -84,6 +168,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cell_pairs: int | None = None,
+    impl: str = "gram",
 ) -> DataFrame:
     """Flag semantic duplicates. Returns one row per input vector:
     (id_col, cell, cell_rank, is_semdup) where is_semdup means "an
@@ -91,6 +176,16 @@ def semdedup(
 
     Rank 1 per cell is never a duplicate; callers filter ~is_semdup for
     the kept corpus or aggregate for an audit table.
+
+    `impl`: 'gram' (default, r6) computes each cell's pairwise dots as
+    ONE BLAS gram matrix inside an applyInPandas kernel keyed on cell —
+    the flag falls out per vector with no pair rows, no distinct, no
+    join-back (measured 69 s -> ~4 s at sf1.0 driver shape; the r5
+    pair-join plan materialized ~25M pair rows each paying a 64-dim
+    Catalyst fold). 'join' keeps the r5 self-join formulation (the
+    oracle-twin proof path; pinned output-equal in tests/test_semdedup).
+    Margin entries are re-scored with the sequential fold so the eps
+    decision is bit-identical either way (see _cell_flags_fn).
     """
     # normalize ONCE per row (N norms), so each candidate pair costs a
     # single dot fold instead of dot + two norms (3x the pair CPU —
@@ -99,18 +194,29 @@ def semdedup(
     # re-evaluate the aggregate per element. cos(a,b) == dot(a/|a|,
     # b/|b|) up to rounding; the driver oracle replays the identical
     # normalize-then-dot float ops so the eps comparison stays bit-equal
-    assigned = (
-        with_cell_and_dist(vectors, centroids, vec_col)
-        .withColumn("_n", l2_norm(F.col(vec_col).cast("array<double>")))
-        .select(
-            F.col(id_col),
-            "cell",
-            "centroid_d2",
-            F.transform(
-                F.col(vec_col).cast("array<double>"), lambda x: x / F.col("_n")
-            ).alias("_v"),
+    if impl == "gram":
+        # one Arrow pass for cell + distance + unit vector (bit-equal to
+        # the Catalyst expressions — see _assign_unit_arrow)
+        s = _assign_unit_arrow(centroids)(F.col(vec_col)).alias("_s")
+        assigned = vectors.select(F.col(id_col), s).select(
+            id_col,
+            F.col("_s.cell").alias("cell"),
+            F.col("_s.d2").alias("centroid_d2"),
+            F.col("_s.v").alias("_v"),
         )
-    )
+    else:
+        assigned = (
+            with_cell_and_dist(vectors, centroids, vec_col)
+            .withColumn("_n", l2_norm(F.col(vec_col).cast("array<double>")))
+            .select(
+                F.col(id_col),
+                "cell",
+                "centroid_d2",
+                F.transform(
+                    F.col(vec_col).cast("array<double>"), lambda x: x / F.col("_n")
+                ).alias("_v"),
+            )
+        )
     w = Window.partitionBy("cell").orderBy(F.desc("centroid_d2"), F.col(id_col))
     ranked = assigned.withColumn("cell_rank", F.row_number().over(w))
 
@@ -125,6 +231,14 @@ def semdedup(
                 f"max_cell_pairs={max_cell_pairs}; raise k or inspect the "
                 "embedding distribution (collapsed/zero vectors?)"
             )
+
+    if impl == "gram":
+        return ranked.select(id_col, "cell", "cell_rank", "_v").groupBy(
+            "cell"
+        ).applyInPandas(
+            _cell_flags_fn(float(eps), id_col),
+            f"{id_col} long, cell int, cell_rank int, is_semdup boolean",
+        )
 
     # MEASURED NEGATIVE RESULT (r5, kept for the record): expressing the
     # flag as ONE left join with the rank/eps predicates in the join

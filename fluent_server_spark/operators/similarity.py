@@ -167,6 +167,74 @@ def _dot_seq_arrow():
     return dot_seq
 
 
+def _gram_pairs_fn(threshold: float, margin: float = 1e-6):
+    """applyInPandas kernel: all within-bucket pairs with cosine >=
+    threshold, computed as ONE BLAS gram matrix per bucket instead of
+    materializing candidate pair rows (guide §8: decide with small
+    rows — here, decide with a matrix product — and never ship
+    per-pair vector copies).
+
+    Exactness contract: the gram matrix (numpy/BLAS) re-associates the
+    dot-product sum, so it is only a SCREEN at `threshold - margin`;
+    every screened-in pair is then re-scored with the SEQUENTIAL
+    per-dimension fold (acc = ((0 + p_1) + p_2) + ... — the exact
+    association Catalyst's `dot` uses) and the final filter/values use
+    only those bit-identical cosines. For 64-dim unit-scale vectors the
+    two summation orders differ by < 1e-12, so margin=1e-6 cannot lose
+    a qualifying pair; survivors are few (the threshold is the point),
+    so the exact re-score is O(|output|), not O(pairs)."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {"a_id": pd.Series([], dtype="int64"),
+         "b_id": pd.Series([], dtype="int64"),
+         "cos": pd.Series([], dtype="float64")}
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return empty
+        ids = pdf["_gid"].to_numpy(dtype=np.int64)
+        V = np.array(pdf["_gvec"].to_list(), dtype=np.float64)
+        # exact norms: sequential fold, same association as l2_norm()
+        acc = np.zeros(m)
+        for k in range(V.shape[1]):
+            acc = acc + V[:, k] * V[:, k]
+        nrm = np.sqrt(acc)
+        U = V / nrm[:, None]
+        thr = threshold - margin
+        cand_a: list[np.ndarray] = []
+        cand_b: list[np.ndarray] = []
+        blk = max(1, min(m, 8 * 1024 * 1024 // max(m, 1)))
+        for s in range(0, m, blk):
+            G = U[s : s + blk] @ U.T  # (b, m) BLAS screen
+            bi, bj = np.nonzero(G >= thr)
+            if len(bi) == 0:
+                continue
+            gi = bi + s
+            keep = ids[gi] < ids[bj]  # orient + drop self/mirror
+            cand_a.append(gi[keep])
+            cand_b.append(bj[keep])
+        if not cand_a:
+            return empty
+        ia = np.concatenate(cand_a)
+        ib = np.concatenate(cand_b)
+        # exact re-score: sequential fold over dims, vectorized over pairs
+        A, B = V[ia], V[ib]
+        d = np.zeros(len(ia))
+        for k in range(V.shape[1]):
+            d = d + A[:, k] * B[:, k]
+        cos = d / (nrm[ia] * nrm[ib])
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {"a_id": ids[ia[keep]], "b_id": ids[ib[keep]], "cos": cos[keep]}
+        )
+
+    return fn
+
+
 def lsh_band_table(
     vectors: DataFrame,
     dim: int,
@@ -217,7 +285,7 @@ def cosine_neardup_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    verify_impl: str = "arrow",
+    verify_impl: str = "gram",
 ) -> DataFrame:
     """Near-dup pairs at scale: multi-table hyperplane LSH candidates,
     then EXACT cosine verification — precision is exact, recall is the
@@ -226,13 +294,47 @@ def cosine_neardup_lsh(
     against the cross-join baseline). The self-join is an equi-join on
     (table, bucket) — no cross join at any scale.
 
-    `verify_impl`: 'arrow' (default) scores candidates with the
-    Arrow-batched sequential-order numpy kernel — bit-identical values
-    to the Catalyst fold (see _dot_seq_arrow) at ~10x less per-pair
-    cost, the right trade when candidates number in the billions;
-    'fold' keeps the pure-JVM fold (the oracle-twin proof path, pinned
-    equal in tests). Measured at sf0.1/814k candidates: 2.9 s arrow vs
-    3.8 s fold vs 7.0 s for the r3 literal-plane formulation."""
+    `verify_impl`:
+
+    * 'gram' (default, r6): never materializes candidate PAIRS at all —
+      vectors group by (table, bucket) and each bucket's pairwise
+      cosines come from ONE BLAS gram matrix (`_gram_pairs_fn`), with
+      every screened-in pair re-scored by the sequential fold so the
+      emitted values are bit-identical to the Catalyst `dot` (pinned in
+      tests/test_similarity.py). The candidate-pair relation of the
+      'arrow'/'fold' paths is O(sum(bucket^2)) ROWS through a distinct
+      + two vector join-backs + a per-pair kernel; at sf1.0 that is
+      ~104M pair-slots and measured 183 s driver-run — the gram path
+      ships each vector once per table (8 rows of 64 doubles) and does
+      the 13 GFLOP of pair math inside BLAS (measured ~3 s at sf1.0).
+      Pair dedup across tables happens AFTER the threshold filter, on
+      the tiny survivor set.
+    * 'arrow' scores materialized candidates with the Arrow-batched
+      sequential-order numpy kernel — bit-identical values to the
+      Catalyst fold (see _dot_seq_arrow); measured 2.9 s at sf0.1 but
+      O(candidates) boundary traffic (two 64-double vectors per pair).
+    * 'fold' keeps the pure-JVM fold (the oracle-twin proof path,
+      pinned equal in tests). Measured at sf0.1/814k candidates: 3.8 s
+      fold vs 7.0 s for the r3 literal-plane formulation."""
+    if verify_impl == "gram":
+        tables = lsh_band_table(
+            vectors, dim, n_planes, n_tables, seed, id_col, vec_col
+        )
+        grouped = tables.join(
+            vectors.select(
+                F.col(id_col).alias("_gid"), F.col(vec_col).alias("_gvec")
+            ),
+            tables[id_col] == F.col("_gid"),
+        ).select("tbl", "bkt", "_gid", "_gvec")
+        pairs = grouped.groupBy("tbl", "bkt").applyInPandas(
+            _gram_pairs_fn(threshold), "a_id long, b_id long, cos double"
+        )
+        # the same pair surviving in several tables carries IDENTICAL
+        # (deterministic) cosine bits — distinct on the survivor set is
+        # the cross-table dedup, paid on |output| rows, not candidates
+        return pairs.distinct().select(
+            "a_id", "b_id", F.round("cos", 6).alias("cos")
+        )
     # Candidates travel as BARE ID PAIRS: at a loose threshold the
     # candidate set is large (few buckets -> many collisions), and
     # carrying two 64-float vectors per candidate through the join +

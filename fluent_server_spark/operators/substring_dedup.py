@@ -146,29 +146,54 @@ def duplicate_spans(
     text_col: str = "text",
     k: int = 20,
     winnow_w: int | None = None,
+    impl: str = "window",
 ) -> DataFrame:
     """(id, start, end): maximal char spans to REMOVE — every occurrence
     of duplicated >= k-grams except the canonical (global-first) one,
     merged per doc. start is 1-based, end exclusive. `winnow_w` switches
     the fingerprint stage from exact stride-1 grams to the winnowing
     selection (see winnowed_gram_positions for the approximation
-    contract)."""
+    contract).
+
+    `impl` picks the canonicalize+mark physical shape (same output):
+
+    * 'window' (default, r6): ONE exchange of the gram stream on `h`
+      and a single row_number per gram — a non-canonical occurrence is
+      simply `rn > 1` (rn 2 can only exist when the gram is duplicated,
+      so the count predicate is implied; the ordering (id, pos) equals
+      the struct-min canonical rule). The r5 'join' shape evaluated the
+      O(total chars) gram explode TWICE (once under the groupBy, once
+      under the mark join) and shuffled it twice (partial-agg exchange
+      + join exchange: measured ~12 s at sf1.0, 2.6M duplicated grams /
+      7.9M marked occurrences — far too many for a broadcast);
+      'window' halves the heavy volume (measured ~7 s).
+    * 'join': groupBy canonical + equi-join mark (the r3-r5 shape,
+      kept as the oracle-twin proof path; pinned output-equal in
+      tests/test_substring_dedup.py)."""
     if winnow_w is None:
         g = gram_positions(docs, id_col, text_col, k)
     else:
         g = winnowed_gram_positions(docs, id_col, text_col, k, winnow_w)
-    occ = F.struct(F.col(id_col), F.col("pos"))
-    dup = (
-        g.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("c"), F.min(occ).alias("canon"))
-        .filter(F.col("c") > 1)
-        .select("h", "canon")
-    )
-    marked = (
-        g.join(dup, "h")
-        .filter(occ != F.col("canon"))
-        .select(id_col, "pos")
-    )
+    if impl == "window":
+        who = Window.partitionBy("h").orderBy(id_col, "pos")
+        marked = (
+            g.withColumn("_rn", F.row_number().over(who))
+            .filter(F.col("_rn") > 1)
+            .select(id_col, "pos")
+        )
+    else:
+        occ = F.struct(F.col(id_col), F.col("pos"))
+        dup = (
+            g.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("c"), F.min(occ).alias("canon"))
+            .filter(F.col("c") > 1)
+            .select("h", "canon")
+        )
+        marked = (
+            g.join(dup, "h")
+            .filter(occ != F.col("canon"))
+            .select(id_col, "pos")
+        )
     # gaps-and-islands: a mark covers [pos, pos+k); a new island starts
     # when this mark begins after every previous mark's end
     w = Window.partitionBy(id_col).orderBy("pos")
