@@ -79,6 +79,7 @@ def bm25_topk(
     query_id_col: str = "query_id",
     query_text_col: str = "query",
     max_df: float | None = None,
+    impl: str = "narrow",
 ) -> DataFrame:
     """Top-k docs per query by BM25. Returns (query_id, rk, doc_id,
     score) with rk 1..k; ties break by doc_id so results are total.
@@ -87,7 +88,81 @@ def bm25_topk(
     exploded terms are broadcast into the postings join. Duplicate terms
     within one query count once (set semantics, the common BM25 choice
     for short queries).
+
+    `impl` picks the physical shape (identical output, pinned in
+    tests/test_bm25.py):
+
+    * 'narrow' (default, r6): tf(t, d) for the query terms only, as a
+      narrow membership count over each doc's token array against the
+      BROADCAST distinct query-term set — the corpus-wide inverted
+      index is never materialized, so the (doc, term) / term / doc
+      aggregation exchanges of the full build disappear; the only
+      shuffles left are the tiny hit-stream aggregations. Same
+      integers (tf, df, dl, N) => bit-identical scores. Measured at
+      sf1.0: 4.4 s -> ~1.3 s. This is also the honest cost model of a
+      served probe (guide §2.4: remove shuffles outright) — the full
+      index build remains what write_bm25_index persists.
+    * 'agg': the r5 full postings+stats build (the oracle-twin proof
+      path, and the shape whose intermediates write_bm25_index stores).
     """
+    if impl == "narrow":
+        toks = _tokens(F.col(text_col))
+        base = (
+            docs.select(F.col(id_col), toks.alias("_toks"))
+            .withColumn("dl", F.size("_toks"))
+            .filter(F.col("dl") > 0)  # token-less docs have no postings
+        )
+        corpus = base.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        )
+        qterms = queries.select(
+            F.col(query_id_col),
+            F.explode(_tokens(F.col(query_text_col))).alias("term"),
+        ).distinct()
+        uterms = qterms.select("term").distinct()
+        term_hits = (
+            base.crossJoin(F.broadcast(uterms))
+            .withColumn(
+                "tf", F.size(F.filter("_toks", lambda x: x == F.col("term")))
+            )
+            .filter(F.col("tf") > 0)
+            .select(id_col, "term", "tf", "dl")
+            # two consumers (df stats + scoring): the hit stream is tiny
+            # (sum of df over query terms), so materialize once
+            .localCheckpoint(eager=True)
+        )
+        stats = term_hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        if max_df is not None:
+            stats = stats.crossJoin(
+                F.broadcast(corpus.select("n_docs"))
+            ).filter(
+                F.col("df") <= F.lit(float(max_df)) * F.col("n_docs")
+            ).select("term", "df")
+        qstats = qterms.join(stats, "term").join(F.broadcast(corpus), F.lit(True))
+        idf = F.log(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        norm = F.col("tf") * (F.lit(k1) + 1.0) / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+        scored = (
+            term_hits.join(F.broadcast(qstats), "term")
+            .groupBy(query_id_col, id_col)
+            .agg(F.round(F.sum(idf * norm), 6).alias("score"))
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.desc("score"), F.col(id_col)
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(query_id_col, "rk", id_col, "score")
+        )
+
     postings, doclen = bm25_index(docs, id_col, text_col)
 
     stats = postings.groupBy("term").agg(

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -128,8 +129,16 @@ def with_lsh_bucket(
     seed: int = 42,
     vec_col: str = "embedding",
     out: str = "bucket",
+    impl: str = "arrow",
 ) -> DataFrame:
-    """H-bit random-hyperplane signature as the ANN bucket (narrow op)."""
+    """H-bit random-hyperplane signature as the ANN bucket (narrow op
+    either way). `impl='arrow'` (default, r6) runs the per-plane dots in
+    the exact-sequential numpy kernel (lsh_buckets_arrow — bit-equal,
+    pinned in tests); 'fold' keeps the literal-plane Catalyst
+    expression, whose interpreted fold dominated the bucketing stage."""
+    if impl == "arrow":
+        bkts = lsh_buckets_arrow(dim, n_planes, 1, seed)
+        return df.withColumn(out, F.element_at(bkts(F.col(vec_col)), 1))
     planes = _hyperplanes(dim, n_planes, seed)
     bucket = F.lit(0)
     for bit, plane in enumerate(planes):
@@ -165,6 +174,47 @@ def _dot_seq_arrow():
         return pd.Series(acc, index=a.index)
 
     return dot_seq
+
+
+def lsh_buckets_arrow(
+    dim: int, n_planes: int, n_tables: int, seed: int
+):
+    """Arrow-vectorized multi-table hyperplane bucketing (r6): all
+    n_tables H-bit buckets per vector in one numpy pass. Each per-plane
+    dot uses the SEQUENTIAL per-dimension association of the Catalyst
+    `dot` fold (acc = acc + v_k*p_k in index order, vectorized across
+    rows), so the sign tests — and therefore the buckets — are
+    BIT-IDENTICAL to with_lsh_bucket / lsh_band_table (pinned in
+    tests/test_similarity.py). Motivation (measured, sf1.0): the
+    broadcast-planes join + interpreted fold + groupBy(id, tbl) bucket
+    assembly cost ~1.5 s and one exchange; this is a single narrow
+    ArrowEvalPython node."""
+    planes = np.array(
+        [
+            _hyperplanes(dim, n_planes, seed + 1000 * t)
+            for t in range(n_tables)
+        ],
+        dtype=np.float64,
+    )  # (n_tables, n_planes, dim)
+
+    @F.pandas_udf("array<int>")
+    def bkts(emb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(emb) == 0:
+            return pd.Series([], dtype="object")
+        V = np.array(emb.to_list(), dtype=np.float64)
+        out = np.zeros((len(V), planes.shape[0]), dtype=np.int32)
+        for t in range(planes.shape[0]):
+            for bit in range(planes.shape[1]):
+                p = planes[t, bit]
+                acc = np.zeros(len(V))
+                for kk in range(V.shape[1]):
+                    acc = acc + V[:, kk] * p[kk]
+                out[:, t] += ((acc > 0).astype(np.int32)) << bit
+        return pd.Series(list(out), index=emb.index)
+
+    return bkts
 
 
 def _gram_pairs_fn(threshold: float, margin: float = 1e-6):
@@ -317,15 +367,29 @@ def cosine_neardup_lsh(
       pinned equal in tests). Measured at sf0.1/814k candidates: 3.8 s
       fold vs 7.0 s for the r3 literal-plane formulation."""
     if verify_impl == "gram":
-        tables = lsh_band_table(
-            vectors, dim, n_planes, n_tables, seed, id_col, vec_col
-        )
-        grouped = tables.join(
+        # buckets for all tables in one narrow Arrow pass (bit-equal to
+        # lsh_band_table — see lsh_buckets_arrow), exploded to
+        # (tbl, bkt) rows that CARRY the vector: no join, one exchange
+        # (the applyInPandas grouping) in the whole plan
+        bkts = lsh_buckets_arrow(dim, n_planes, n_tables, seed)
+        grouped = (
             vectors.select(
-                F.col(id_col).alias("_gid"), F.col(vec_col).alias("_gvec")
-            ),
-            tables[id_col] == F.col("_gid"),
-        ).select("tbl", "bkt", "_gid", "_gvec")
+                F.col(id_col).alias("_gid"),
+                F.col(vec_col).alias("_gvec"),
+                bkts(F.col(vec_col)).alias("_bkts"),
+            )
+            .select(
+                "_gid",
+                "_gvec",
+                F.explode(
+                    F.transform(
+                        F.col("_bkts"),
+                        lambda b, t: F.struct(t.alias("tbl"), b.alias("bkt")),
+                    )
+                ).alias("_tb"),
+            )
+            .select("_tb.tbl", "_tb.bkt", "_gid", "_gvec")
+        )
         pairs = grouped.groupBy("tbl", "bkt").applyInPandas(
             _gram_pairs_fn(threshold), "a_id long, b_id long, cos double"
         )

@@ -22,8 +22,69 @@ Scale shape (100 TB corpus):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_WORD_STATS_TYPE = T.StructType(
+    [
+        T.StructField("n_words", T.LongType()),
+        T.StructField("n_distinct", T.LongType()),
+        T.StructField("max_c", T.LongType()),
+    ]
+)
+
+
+@F.pandas_udf(_WORD_STATS_TYPE)
+def _word_count_stats(tokens: pd.Series) -> pd.DataFrame:
+    """Per-doc word-count primitives from the (Catalyst-tokenized) word
+    array: total occurrences, distinct words, and the max single-word
+    count — the INTEGER inputs of the Gopher repetition fractions. The
+    divisions/rounding stay in Catalyst so values are bit-identical to
+    the explode+groupBy formulation (pinned in tests/test_textstats.py).
+    Tokenization stays in Catalyst too (same split/lower semantics as
+    every other text operator); Python only counts."""
+    from collections import Counter
+
+    n_words, n_distinct, max_c = [], [], []
+    for toks in tokens:
+        c = Counter(toks)
+        n_words.append(len(toks))
+        n_distinct.append(len(c))
+        max_c.append(max(c.values()) if c else 0)
+    return pd.DataFrame(
+        {"n_words": n_words, "n_distinct": n_distinct, "max_c": max_c},
+        index=tokens.index,
+    )
+
+
+def repetition_stats_narrow_cols(text_col: str = "text") -> dict[str, F.Column]:
+    """The repetition_stats output columns as NARROW expressions over
+    one row — no explode, no exchange, no join (r6: doc_profile's
+    explode + two-level aggregation + join-back was ~40% of its wall;
+    one scan now carries every per-doc profile column). Callers must
+    filter out word-less docs themselves (the aggregation formulation
+    drops them via its inner join): word-less <=> trim(text) == '' or
+    NULL, a pure narrow predicate — keep it OFF the UDF output so the
+    optimizer cannot duplicate the Python eval under a pushed filter
+    (guide §4.4)."""
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    s = _word_count_stats(words)
+    n_words = s["n_words"]
+    n_distinct = s["n_distinct"]
+    return {
+        "n_words": n_words.alias("n_words"),
+        "n_distinct_words": n_distinct.alias("n_distinct_words"),
+        "top_word_frac": F.round(
+            s["max_c"].cast("double") / n_words.cast("double"), 6
+        ).alias("top_word_frac"),
+        "dup_word_frac": F.round(
+            F.lit(1.0) - n_distinct.cast("double") / n_words.cast("double"), 6
+        ).alias("dup_word_frac"),
+    }
 
 
 def _words(text_col: str) -> F.Column:

@@ -478,21 +478,37 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the doc_id key it already aggregates on). The parents stay
     callable for pytest and come back as driver-checkable views via the
     un-merge toggle (queries/unmerged.py)."""
-    from fluent_server_spark.operators.textstats import repetition_stats
+    from fluent_server_spark.operators.textstats import (
+        repetition_stats_narrow_cols,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     text = F.col("text")
-    narrow = spread(docs).select(
-        "doc_id",
-        token_count(text).alias("n_tokens"),
-        stopword_count(text).alias("n_stopwords"),
-        punct_count(text).alias("n_punct"),
-        quality_score(text, F.col("n_chars")).alias("quality"),
-        lang_id_udf(text).alias("lang_guess"),
-        winnow_fingerprint(text).alias("winnow_fp"),
+    rep = repetition_stats_narrow_cols("text")
+    # r6: ONE scan, ONE narrow projection, ZERO exchanges/joins — the
+    # repetition signals come from the narrow per-row counter
+    # (repetition_stats_narrow_cols; integer-identical to the r5
+    # explode + two-level aggregation + join-back, whose exchanges were
+    # ~40% of this query's wall). The trim != '' filter reproduces the
+    # old inner join's drop of word-less docs and is a pure scan
+    # predicate, NOT a predicate on the Python eval (guide §4.4).
+    return (
+        spread(docs)
+        .filter(F.trim(text) != "")
+        .select(
+            "doc_id",
+            token_count(text).alias("n_tokens"),
+            stopword_count(text).alias("n_stopwords"),
+            punct_count(text).alias("n_punct"),
+            quality_score(text, F.col("n_chars")).alias("quality"),
+            lang_id_udf(text).alias("lang_guess"),
+            winnow_fingerprint(text).alias("winnow_fp"),
+            rep["n_words"],
+            rep["n_distinct_words"],
+            rep["top_word_frac"],
+            rep["dup_word_frac"],
+        )
     )
-    rep = repetition_stats(spread(docs))
-    return narrow.join(rep, "doc_id")
 
 
 SQL_DOC_PROFILE = f"""
@@ -655,8 +671,6 @@ def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     and emit per-doc counts by kind + the md5 of the scrubbed text. The
     patterns are restricted to the Java-regex ∩ RE2 subset so the oracle
     replays the identical first-match-wins scrub order."""
-    from fluent_server_spark.functions.text import pii_counts, scrub_pii
-
     docs = load_table(spark, sf_dir, "documents")
     aug = F.concat(
         F.col("text"),
@@ -669,11 +683,18 @@ def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" ssn 123-45-"),
         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
     )
-    counts = pii_counts(aug)
-    return docs.select(
+    # r6: the count+scrub chain runs as ONE Arrow kernel (8 C-level
+    # regex passes) instead of 12 Catalyst regexp nodes — identical
+    # sequential first-match-wins semantics, parity pinned per-row in
+    # tests; measured 4.2 s -> ~0.6 s at sf1.0. The Catalyst chain
+    # (pii_counts + scrub_pii) remains the oracle-twin proof path.
+    from fluent_server_spark.functions.text import PII_ORDER, pii_scrub_udf
+
+    s = pii_scrub_udf(aug).alias("_s")
+    return spread(docs).select("doc_id", s).select(
         "doc_id",
-        *[c.cast("bigint").alias(name) for name, c in counts.items()],
-        F.md5(scrub_pii(aug)).alias("scrub_md5"),
+        *[F.col(f"_s.n_{kind}").alias(f"n_{kind}") for kind in PII_ORDER],
+        F.col("_s.scrub_md5").alias("scrub_md5"),
     )
 
 

@@ -140,3 +140,24 @@ def test_empty_corpus_and_no_match_query(spark):
     docs2 = spark.createDataFrame([(1, "alpha beta")], "doc_id int, text string")
     qs2 = spark.createDataFrame([(0, "zzz qqq")], "query_id int, query string")
     assert bm25_topk(docs2, qs2, k=5).count() == 0
+
+
+def test_narrow_impl_matches_agg_impl(spark, corpus):
+    """r6: the narrow (query-term membership) physical shape must be
+    row-identical to the full inverted-index build — same integers in,
+    same rounded scores out."""
+    docs, qs = corpus
+    agg = sorted(map(tuple, bm25_topk(docs, qs, k=4, impl="agg").collect()))
+    nar = sorted(map(tuple, bm25_topk(docs, qs, k=4, impl="narrow").collect()))
+    assert agg == nar
+
+
+def test_narrow_impl_max_df(spark, corpus):
+    docs, qs = corpus
+    agg = sorted(
+        map(tuple, bm25_topk(docs, qs, k=4, max_df=0.5, impl="agg").collect())
+    )
+    nar = sorted(
+        map(tuple, bm25_topk(docs, qs, k=4, max_df=0.5, impl="narrow").collect())
+    )
+    assert agg == nar

@@ -87,3 +87,76 @@ def test_simhash_properties(spark):
         .h
     )
     assert got == bin((sh[0] ^ sh[1]) & (2**64 - 1)).count("1")
+
+
+def test_pii_scrub_udf_matches_catalyst_chain(spark):
+    """r6: the Arrow one-pass scrub kernel must replicate the Catalyst
+    regexp chain bit-for-bit — including the sequential-semantics edge
+    where an earlier replacement creates a word boundary that enables a
+    later pattern, and NULL propagation."""
+    from fluent_server_spark.functions.text import (
+        PII_ORDER,
+        pii_counts,
+        pii_scrub_udf,
+        scrub_pii,
+    )
+
+    rows = [
+        ("mail a.b-c%d@ex.ample.co and ssn 123-45-6789",),
+        ("phone 415-555-0000 ip 10.0.0.1 end",),
+        ("overlap 123-45-6789@x.co tail",),
+        # replacement-created boundary: "...co678-90-1234" has no \b
+        # before the digits until the email is scrubbed to "<EMAIL>"
+        ("edge a@b.co678-55-1234 x",),
+        ("",),
+        (None,),
+        ("nothing to see here",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    counts = pii_counts(F.col("text"))
+    old = df.select(
+        *[c.cast("bigint").alias(n) for n, c in counts.items()],
+        F.md5(scrub_pii(F.col("text"))).alias("scrub_md5"),
+    ).collect()
+    s = pii_scrub_udf(F.col("text")).alias("_s")
+    new = df.select(s).select(
+        *[F.col(f"_s.n_{k}").alias(f"n_{k}") for k in PII_ORDER],
+        F.col("_s.scrub_md5").alias("scrub_md5"),
+    ).collect()
+    assert [tuple(r) for r in old] == [tuple(r) for r in new]
+
+
+def test_repetition_narrow_matches_aggregation(spark):
+    """r6: the narrow per-row counter columns equal the explode+groupBy
+    repetition_stats on every doc that has words."""
+    from fluent_server_spark.operators.textstats import (
+        repetition_stats,
+        repetition_stats_narrow_cols,
+    )
+
+    rows = [
+        (0, "the the the fox"),
+        (1, "a b c d"),
+        (2, "x"),
+        (3, "  padded   spacing  words the the  "),
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    agg = sorted(map(tuple, repetition_stats(df).collect()))
+    rep = repetition_stats_narrow_cols("text")
+    nar = sorted(
+        map(
+            tuple,
+            df.filter(F.trim(F.col("text")) != "")
+            .select(
+                "doc_id",
+                rep["n_words"],
+                rep["n_distinct_words"],
+                rep["top_word_frac"],
+                rep["dup_word_frac"],
+            )
+            .collect(),
+        )
+    )
+    assert agg == nar
