@@ -512,13 +512,79 @@ def hash_shingle(gram: F.Column) -> F.Column:
     return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("bigint")
 
 
+def _hashed_shingles_arrow(n: int):
+    """Arrow twin of the shingle->md5->60-bit chain (r6): whole batches
+    through Python's C-level split/join/hashlib instead of the Catalyst
+    split + per-gram slice/concat_ws/md5/conv expression tree, which
+    was ~2 s of every shingle-family query at sf1.0. Semantics are
+    replicated EXACTLY (pinned value-equal in tests/test_dedup.py):
+
+    * trim = strip of the SPACE character only (Spark's `trim`);
+    * split on ASCII \\s+ keeping leading AND trailing empty strings
+      (Spark's split uses limit=-1, unlike bare JVM String.split);
+    * grams = space-joined n-slices for indices 0..max(len-n, 0) (the
+      clamped F.slice partial-gram behavior for short docs);
+    * hash = int(md5(gram)[:15 hex], 16) — identical 60-bit values;
+    * distinct keeps first occurrence (order is irrelevant downstream:
+      signatures take mins, verifies take set sizes)."""
+    import hashlib
+    import re as _re
+
+    ws_re = _re.compile(r"\s+", _re.ASCII)
+
+    @F.pandas_udf("array<bigint>")
+    def sh(text: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for s in text:
+            if s is None:
+                # Catalyst twin: size(NULL array) = -1 under non-ANSI,
+                # so the index range clamps to [0] and concat_ws over
+                # the NULL slice yields '' — one empty-string gram
+                # (callers filter NULL text; pinned for parity anyway)
+                s = ""
+            # Spark's split(limit=-1) KEEPS trailing empty strings —
+            # python re.split already matches that (unlike Java's
+            # String.split, which drops them)
+            w = ws_re.split(s.strip(" ").lower())
+            last = max(len(w) - n, 0)
+            seen = dict.fromkeys(
+                " ".join(w[i : i + n]) for i in range(last + 1)
+            )
+            out.append(
+                np.fromiter(
+                    (
+                        int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                        for g in seen
+                    ),
+                    dtype=np.int64,
+                    count=len(seen),
+                )
+            )
+        return pd.Series(out, index=text.index)
+
+    return sh
+
+
 def with_hashed_shingles(
-    docs: DataFrame, text_col: str = "text", n: int = 3, out: str = "hg"
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    out: str = "hg",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Distinct 60-bit hashed word-n-gram shingles (narrow op). Jaccard
     over these equals jaccard over the string shingles up to md5
     collisions (~2^-60 per pair) — and int arrays intersect far cheaper
-    than string arrays on the verify path."""
+    than string arrays on the verify path. `impl='arrow'` (default, r6)
+    computes the identical values in a batched Python kernel
+    (_hashed_shingles_arrow — pinned equal in tests); 'fold' keeps the
+    pure-Catalyst expression chain."""
+    if impl == "arrow":
+        return docs.withColumn(
+            out, _hashed_shingles_arrow(n)(F.col(text_col))
+        )
     sh = with_shingles(docs, text_col, n, out="_grams")
     return sh.withColumn(
         out, F.array_distinct(F.transform("_grams", hash_shingle))
