@@ -399,6 +399,44 @@ def _block_overlap_fn(n_blocks: int, threshold: float, margin: float = 1e-6):
     return fn
 
 
+def _murmur3_int(x: int, seed: int = 42) -> int:
+    """Spark's Murmur3_x86_32.hashInt (the `hash()` of an INT column) —
+    replicated so block-pair task keys can be CHOSEN to land round-robin
+    across shuffle partitions (see jaccard_join_blocks)."""
+    M = 0xFFFFFFFF
+    k = (x * 0xCC9E2D51) & M
+    k = ((k << 15) | (k >> 17)) & M
+    k = (k * 0x1B873593) & M
+    h = (seed ^ k) & M
+    h = ((h << 13) | (h >> 19)) & M
+    h = (h * 5 + 0xE6546B64) & M
+    h ^= 4  # length in bytes
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & M
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & M
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _balanced_task_keys(n_tasks: int, n_parts: int) -> list[int]:
+    """n_tasks ints whose Spark hash lands them round-robin over
+    n_parts shuffle partitions: key i goes to partition i % n_parts, so
+    no partition ever holds more than ceil(n_tasks/n_parts) tasks. With
+    raw consecutive ids the binomial collision tail gave some partition
+    4-6 of the ~2x-average heaviest tasks — measured as 2-3x straggler
+    spread on the jaccard block kernel."""
+    keys: list[int] = []
+    cand = 0
+    for i in range(n_tasks):
+        want = i % n_parts
+        while _murmur3_int(cand) % n_parts != want:
+            cand += 1
+        keys.append(cand)
+        cand += 1
+    return keys
+
+
 def jaccard_join_blocks(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -446,7 +484,29 @@ def jaccard_join_blocks(
         .withColumn("task", F.explode(tasks))
         .select("task", "_blk", "_id", "hg")
     )
-    surv = rep.groupBy("task").applyInPandas(
+    # Straggler control (guide §2.5/§2.6, measured): a plain
+    # groupBy(task) shuffle let AQE coalesce the ~5 MB-per-partition
+    # stream far below core count AND let murmur collisions stack
+    # several of the heaviest tasks on one partition — 2-6x spread
+    # between identical runs. Remap each task id to a key PLACED
+    # round-robin over the shuffle partitions (diagonal tasks first,
+    # they are the heavy ones) and pin the partition count with an
+    # explicit repartition the groupBy reuses.
+    n_parts = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    occurring = sorted(
+        (i * n_blocks + j for i in range(n_blocks) for j in range(i, n_blocks)),
+        key=lambda t: (t // n_blocks != t % n_blocks, t),
+    )
+    keys = _balanced_task_keys(len(occurring), n_parts)
+    keymap = dict(zip(occurring, keys))
+    arr = F.array(
+        *[F.lit(keymap.get(t, -1)) for t in range(n_blocks * n_blocks)]
+    )
+    rep = rep.withColumn("gk", F.element_at(arr, F.col("task") + 1))
+    rep = rep.repartition(n_parts, "gk")
+    surv = rep.groupBy("gk").applyInPandas(
         _block_overlap_fn(n_blocks, threshold),
         "a_id long, b_id long, a_sz int, b_sz int, o long",
     )

@@ -233,6 +233,10 @@ def semdedup(
             )
 
     if impl == "gram":
+        # groupBy(cell) directly: the rank window already exchanged on
+        # cell, so the kernel grouping reuses that partitioning (a
+        # balanced-key repartition was measured here and REGRESSED —
+        # the extra exchange cost more than the spread bought at k=8)
         return ranked.select(id_col, "cell", "cell_rank", "_v").groupBy(
             "cell"
         ).applyInPandas(

@@ -390,6 +390,10 @@ def cosine_neardup_lsh(
             )
             .select("_tb.tbl", "_tb.bkt", "_gid", "_gvec")
         )
+        # groupBy directly: a balanced-key repartition was measured here
+        # and REGRESSED slightly (the 128 buckets spread acceptably
+        # under the plain grouping exchange; adding a repartition only
+        # added an exchange)
         pairs = grouped.groupBy("tbl", "bkt").applyInPandas(
             _gram_pairs_fn(threshold), "a_id long, b_id long, cos double"
         )

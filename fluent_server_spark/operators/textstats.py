@@ -134,7 +134,14 @@ def tfidf_top_terms(
     words = docs.select(
         F.col(id_col), F.explode(_words(text_col)).alias("term")
     ).filter(F.col("term") != "")
-    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds TWO consumers (the df aggregation and the scoring join):
+    # materialize it once — un-materialized, the explode+agg chain ran
+    # twice (r6, measured ~0.7 s off the query at sf1.0)
+    tf = (
+        words.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(
         F.count(F.lit(1)).cast("double").alias("n_corpus")

@@ -864,14 +864,21 @@ def q_fuzzy_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # groupBy too)
     d = d.join(F.broadcast(big), "blk", "left_anti").localCheckpoint(eager=True)
     a, b = d.alias("a"), d.alias("b")
+    # r6: THRESHOLD-BANDED levenshtein (guide §1.2 "per-task work") —
+    # the verify was the query's dominant cost (~490k candidate pairs x
+    # a full 80x80 DP at sf1.0). With the threshold argument Spark runs
+    # the banded O(len * k) DP and returns -1 past the band; for every
+    # surviving pair the banded distance equals the full distance, so
+    # the output rows are identical (measured ~3.4 -> ~2.2 s).
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"), FUZZY_MAX_DIST)
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
             F.col("a.doc_id").alias("a_id"),
             F.col("b.doc_id").alias("b_id"),
-            F.levenshtein("a.head", "b.head").alias("dist"),
+            dist.alias("dist"),
         )
-        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= FUZZY_MAX_DIST))
     )
 
 
@@ -973,11 +980,27 @@ def q_perplexity_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity_band_filter; that operator's approxQuantile band edges
     remain the constant-memory path when exact decile ranking is not
     required. Wordless docs (NULL score) drop with the gibberish tail."""
-    from fluent_server_spark.operators.lm_quality import unigram_nll_scores
+    from fluent_server_spark.operators.lm_quality import (
+        train_unigram,
+        unigram_nll_scores,
+    )
     from fluent_server_spark.operators.ranking import with_global_ntile
 
     docs = load_table(spark, sf_dir, "documents")
-    scores = unigram_nll_scores(docs).filter(F.col("avg_nll").isNotNull())
+    # r6: materialize the two SMALL intermediates (model = vocabulary
+    # rows; scores = one row per doc) — the ntile machinery consumes
+    # `scores` twice (ranked stream + offsets broadcast) and the model
+    # feeds both the totals agg and the scoring join, so the
+    # un-materialized plan re-ran the word explode + aggregation chain
+    # SIX times (40 Exchanges; plans/r06/perplexity_band_before.txt).
+    # Values are unchanged — each branch previously computed identical
+    # copies; now they read the same one (measured 3.1 -> ~1.6 s).
+    model = train_unigram(docs).localCheckpoint(eager=True)
+    scores = (
+        unigram_nll_scores(docs, model=model)
+        .filter(F.col("avg_nll").isNotNull())
+        .localCheckpoint(eager=True)
+    )
     tiled = with_global_ntile(
         scores, 10, [F.asc("avg_nll"), F.asc("doc_id")], out="decile"
     )
