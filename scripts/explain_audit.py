@@ -67,17 +67,24 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
-    # r4: at the driver's loose t=0.2 the exact jaccard query routes to
-    # the overlap-COUNT kernel (token equi-join + hash agg, no prefix
-    # window, no array verify) — equi-joins only, no cross join anywhere
+    # r6: at the driver's loose t=0.2 the exact jaccard query routes to
+    # the BLOCK-PAIR complete-count kernel: Arrow shingles, task
+    # explode, one pinned exchange, numpy overlap counts per block pair
+    # (FlatMapGroupsInPandas) — NO join and NO pair exchange anywhere;
+    # the jaccard division/round on survivors stays in Catalyst
     "ngram_jaccard_pairs": (
-        ["ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin", "HashAggregate"],
-        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        ["ArrowEvalPython", "FlatMapGroupsInPandas", "Generate"],
+        ["CartesianProduct", "SortMergeJoin", "ShuffledHashJoin",
+         "BroadcastNestedLoopJoin", "BatchEvalPython"],
     ),
-    # round 2: the benched embedding near-dup headline is the LSH path
+    # r6: the benched embedding near-dup headline computes buckets in
+    # one Arrow pass and the within-bucket cosines as BLAS gram
+    # matrices (FlatMapGroupsInPandas); survivors dedup via the
+    # distinct HashAggregate — the candidate-pair joins are GONE
     "embedding_neardup_lsh": (
-        ["ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin"],
-        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        ["ArrowEvalPython", "FlatMapGroupsInPandas", "HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin", "ShuffledHashJoin",
+         "BroadcastHashJoin", "BroadcastNestedLoopJoin", "BatchEvalPython"],
     ),
     "ann_topk_ivf": (
         ["ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin"],
@@ -122,10 +129,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # r5: the merged per-doc profile — ONE documents scan feeds all the
     # narrow features (token/quality/lang-id/winnowing); only the
     # repetition branch (explode + two-level agg) joins back, keyed on
-    # doc_id — keyed hash join, never nested-loop
+    # r6: ONE scan, ONE narrow projection — repetition integers come
+    # from the per-row counter kernel, so the explode + two-level agg +
+    # join-back are gone entirely
     "doc_profile": (
-        ["Generate explode|Generate", "HashAggregate"],
-        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        ["Scan parquet", "ArrowEvalPython"],
+        ["Join", "CartesianProduct", "Generate", "HashAggregate",
+         "BatchEvalPython"],
     ),
     # tf-idf: corpus size joins as BROADCAST 1-row relation; the df join
     # is keyed (shuffled/broadcast hash), never nested-loop over facts
@@ -133,10 +143,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin", "Window", "HashAggregate"],
         ["CartesianProduct"],
     ),
-    # PII scrub: pure narrow map — no exchange at all, no Python
+    # r6 PII scrub: ONE Arrow kernel runs the identical sequential
+    # count+replace chain (8 C-level regex passes); the only exchange
+    # is the parallelism spread of the single-split scan
     "pii_scrub_stats": (
-        ["Scan parquet"],
-        ["Exchange", "Join", "Python", "CartesianProduct"],
+        ["Scan parquet", "ArrowEvalPython"],
+        ["Join", "CartesianProduct", "BatchEvalPython"],
     ),
     # chunking: map-only explode — no exchange
     "doc_chunk_stats": (
@@ -213,13 +225,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Window", "HashAggregate", "Exchange rangepartitioning", "BroadcastHashJoin"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
-    # r5 SemDeDup: cell assignment + centroid distance are NARROW
-    # literal expressions (no join/shuffle); one window ranks within
-    # cell; the pairwise pass is a self EQUI-join on cell plus the
-    # keyed flag join — never a cross join, no Python anywhere
+    # r6: assignment/normalize in one Arrow pass, rank window on cell,
+    # per-cell flags from ONE BLAS gram kernel — the within-cell pair
+    # join, distinct and flag join-back are gone
     "semdedup_drop": (
-        ["Window", "ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin"],
-        ["CartesianProduct", "BroadcastNestedLoopJoin", "Python"],
+        ["Window", "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+         "ShuffledHashJoin", "BatchEvalPython"],
     ),
     # r5 BM25: postings/doclen/stats are partial+final hash aggs; the
     # query-term and per-term-stat sides join BROADCAST; top-k is one

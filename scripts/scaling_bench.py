@@ -168,12 +168,40 @@ def main() -> int:
         )
         pairs.append(pair)
 
-    plausible = [p for p in pairs if p.get("control_plausible", True)] or pairs
-    cleanest = max(plausible, key=lambda p: p["calibration_mops"])
+    # ---- r6 PRE-REGISTERED HEADLINE PROTOCOL (VERDICT r5 #2) ----
+    # The r5 JSONs' top-level fields came from the single cleanest pair,
+    # while the >=0.8 claim lived in best-pair fields — best-of-N pair
+    # selection is exposed to noise-picking the high tail. Registered
+    # rule, fixed BEFORE this round's runs:
+    #   * a pair is PLAUSIBLE iff its raw-CPU control efficiency lies in
+    #     [0.85, 1.1] (the host delivered near-nominal scaling and the
+    #     window did not shift mid-pair);
+    #   * headline scaling_efficiency = MEDIAN raw efficiency over the
+    #     plausible pairs (all pairs if none qualify — then flagged);
+    #   * top-level pass = median raw >= 0.8, OR median normalized
+    #     >= 0.8 while the median control itself is in-window (the
+    #     engine kept >=80% of whatever scaling the host delivered).
+    # Cleanest-/best-pair numbers remain as context fields only.
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        m = len(s) // 2
+        return round(s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2, 3)
+
+    plausible = [
+        p for p in pairs if 0.85 <= p["control_efficiency"] <= 1.1
+    ]
+    plausible_flagged = not plausible
+    scored = plausible or pairs
+    med_eff = _median([p["efficiency"] for p in scored])
+    med_norm = _median([p["normalized_efficiency"] for p in scored])
+    med_ctrl = _median([p["control_efficiency"] for p in scored])
+    headline_pass = med_eff >= 0.8 or (
+        med_norm >= 0.8 and 0.85 <= med_ctrl <= 1.1
+    )
+    cleanest = max(scored, key=lambda p: p["calibration_mops"])
     best_raw = max(pairs, key=lambda p: p["efficiency"])
     tn = cleanest[str(args.n)]["turns_per_sec"]
     t4n = cleanest[str(args.n4)]["turns_per_sec"]
-    eff = cleanest["efficiency"]
     result = {
         "variant": args.variant,
         "rows": args.rows,
@@ -183,16 +211,21 @@ def main() -> int:
         "n4_cores": args.n4,
         "throughput_n": tn,
         "throughput_4n": t4n,
-        "scaling_efficiency": eff,
-        "control_efficiency": cleanest["control_efficiency"],
-        "normalized_efficiency": cleanest["normalized_efficiency"],
+        "protocol": "median over control-plausible pairs "
+                    "(control in [0.85, 1.1]); pre-registered r6",
+        "n_pairs": len(pairs),
+        "n_plausible_pairs": len(plausible),
+        "no_plausible_pairs_flag": plausible_flagged,
+        "scaling_efficiency": med_eff,
+        "control_efficiency": med_ctrl,
+        "normalized_efficiency": med_norm,
         "target": 0.8,
-        "pass": eff >= 0.8,
-        "pass_normalized": cleanest["normalized_efficiency"] >= 0.8,
+        "pass": headline_pass,
+        "pass_normalized": med_norm >= 0.8 and 0.85 <= med_ctrl <= 1.1,
+        "cleanest_pair_efficiency": cleanest["efficiency"],
+        "cleanest_calibration_mops": cleanest["calibration_mops"],
         "best_raw_efficiency": best_raw["efficiency"],
         "best_raw_pair_calibration_mops": best_raw["calibration_mops"],
-        "pass_best_raw": best_raw["efficiency"] >= 0.8,
-        "cleanest_calibration_mops": cleanest["calibration_mops"],
         "pairs": pairs,
         "detail": best,
     }
@@ -205,7 +238,7 @@ def main() -> int:
         json.dump(result, f, indent=1)
     if args.no_md:
         print(json.dumps(result))
-        return 0 if eff >= 0.8 else 1
+        return 0 if headline_pass else 1
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH — measured baseline & scaling evidence
 
@@ -214,8 +247,10 @@ parse -> broadcast enrich -> first-match route -> partitioned parquet
 sinks + checkpoint commit), identical input at two parallelism levels,
 separate JVMs, {args.repeats} interleaved calibrated pairs (sandbox
 proxy for N vs 4N executors per BASELINE.md's measurement protocol);
-the headline row is the pair measured under the cleanest host
-conditions (calibration {cleanest['calibration_mops']} M ops/s). Work dir is tmpfs:
+the table rows show the pair measured under the cleanest host
+conditions (calibration {cleanest['calibration_mops']} M ops/s); the
+HEADLINE efficiency is the pre-registered median over control-plausible
+pairs (see below). Work dir is tmpfs:
 on a real cluster storage bandwidth scales with executors; a single
 local disk would serialize the sink writes and measure the disk.
 
@@ -233,8 +268,12 @@ hypervisor cannot deliver 4x cycles above ~16 vCPUs, hence N=4.
 | local[{args.n}], shuffle={2*args.n} | {args.rows:,} | {cleanest[str(args.n)]['wall_sec']} | {tn:,.0f} |
 | local[{args.n4}], shuffle={2*args.n4} | {args.rows:,} | {cleanest[str(args.n4)]['wall_sec']} | {t4n:,.0f} |
 
-**Scaling efficiency (N -> 4N)** = ({t4n:,.0f} / {tn:,.0f}) / 4 = **{eff}**
-(target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
+**Scaling efficiency (N -> 4N), PRE-REGISTERED r6 protocol** = median raw
+efficiency over the {len(plausible)} control-plausible pairs (control in
+[0.85, 1.1]) of {len(pairs)} = **{med_eff}** (median normalized
+{med_norm} at median control {med_ctrl}; target >= 0.8:
+{"PASS" if headline_pass else "FAIL"}). The cleanest single pair read
+{cleanest['efficiency']} at calibration {cleanest['calibration_mops']} M ops/s.
 
 All interleaved pairs (wall sec + the raw-CPU calibration measured just
 before each pair; host steal in this shared microVM swings single runs
@@ -264,7 +303,7 @@ Checkpoint groups of 256 buckets give 256 resume units of ~200 GB each
 (one ack record per group, as here).
 """)
     print(json.dumps(result))
-    return 0 if eff >= 0.8 else 1
+    return 0 if headline_pass else 1
 
 
 if __name__ == "__main__":
