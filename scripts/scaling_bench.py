@@ -71,11 +71,25 @@ def run_level(
         # local-cluster[N,cores,memMB]: separate executor JVMs with
         # private heaps — the closest single-box proxy for N executors
         env["SPARK_GRAFT_MASTER"] = master
-    out = subprocess.run(
-        cmd, capture_output=True, text=True, cwd=REPO, timeout=1800, env=env
-    )
-    line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)["pipeline"]
+    # one retry: local-cluster teardown occasionally races its executor
+    # shutdown hooks (observed once in ~16 level runs) and the bench
+    # subprocess dies rc=1 with no stdout — a fresh JVM succeeds
+    last_err = ""
+    for attempt in range(2):
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, cwd=REPO, timeout=3600, env=env
+        )
+        if out.stdout.strip():
+            line = out.stdout.strip().splitlines()[-1]
+            return json.loads(line)["pipeline"]
+        last_err = out.stderr[-4000:]
+        print(
+            f"run_level cpus={cpus} attempt {attempt}: no output "
+            f"(rc={out.returncode}), retrying",
+            file=sys.stderr,
+        )
+    print(last_err, file=sys.stderr)
+    raise RuntimeError("bench.py produced no output after retry")
 
 
 def main() -> int:
@@ -167,6 +181,12 @@ def main() -> int:
             file=sys.stderr,
         )
         pairs.append(pair)
+        # crash insurance: persist completed pairs as we go (a late
+        # level-run failure must not discard measured pairs)
+        with open(
+            os.path.join(REPO, "BENCH", "scaling_pairs_inflight.json"), "w"
+        ) as f:
+            json.dump(pairs, f, indent=1)
 
     # ---- r6 PRE-REGISTERED HEADLINE PROTOCOL (VERDICT r5 #2) ----
     # The r5 JSONs' top-level fields came from the single cleanest pair,
