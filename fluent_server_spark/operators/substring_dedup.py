@@ -140,6 +140,87 @@ def winnowed_gram_positions(
     )
 
 
+def _marked_positions(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    winnow_w: int | None,
+    impl: str,
+) -> DataFrame:
+    """(id, pos): every non-canonical occurrence of a duplicated gram —
+    the mark stream feeding the islands merge (see duplicate_spans for
+    the `impl` contract)."""
+    if winnow_w is None:
+        g = gram_positions(docs, id_col, text_col, k)
+    else:
+        g = winnowed_gram_positions(docs, id_col, text_col, k, winnow_w)
+    if impl == "window":
+        who = Window.partitionBy("h").orderBy(id_col, "pos")
+        return (
+            g.withColumn("_rn", F.row_number().over(who))
+            .filter(F.col("_rn") > 1)
+            .select(id_col, "pos")
+        )
+    occ = F.struct(F.col(id_col), F.col("pos"))
+    dup = (
+        g.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"), F.min(occ).alias("canon"))
+        .filter(F.col("c") > 1)
+        .select("h", "canon")
+    )
+    return g.join(dup, "h").filter(occ != F.col("canon")).select(id_col, "pos")
+
+
+def _span_arrays(marked: DataFrame, id_col: str, k: int) -> DataFrame:
+    """(id, _spans): the maximal removal spans per doc as ONE sorted
+    array column, computed by a narrow array pass over the per-doc
+    sorted mark positions instead of the r5 islands machinery (r6).
+
+    The r5 shape ran gaps-and-islands as a Sort + two Window passes +
+    a (doc, island) HashAggregate + a second collect_list aggregate —
+    five operators after the doc_id exchange. But once a doc's marks
+    sit in one sorted array `ps`, the islands are fully determined
+    positionally (guide §2.4 — one exchange, then narrow work):
+
+    * a mark STARTS an island iff it is the first, or it begins after
+      the previous mark's span ends (ps[i] > ps[i-1] + k — the previous
+      max end IS ps[i-1] + k when positions are sorted);
+    * a mark ENDS an island iff it is the last, or the next mark begins
+      after its span ends; its island ends at ps[i] + k.
+
+    Both filters preserve array order, so zip_with(starts, ends) pairs
+    the j-th start with the j-th end — exactly the (min pos, max pos + k)
+    the islands groupBy produced, already sorted by start. The when()
+    guards keep element_at off index 0 / past the end (ANSI-safe).
+    Pinned output-equal to the window islands path in
+    tests/test_substring_dedup.py."""
+    ps = F.col("_ps")
+    starts = F.filter(
+        ps,
+        lambda x, i: F.when(i == 0, F.lit(True)).otherwise(
+            x > F.element_at(ps, i) + k
+        ),
+    )
+    ends = F.transform(
+        F.filter(
+            ps,
+            lambda x, i: F.when(i == F.size(ps) - 1, F.lit(True)).otherwise(
+                F.element_at(ps, i + 2) > x + k
+            ),
+        ),
+        lambda x: x + k,
+    )
+    return marked.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("pos")).alias("_ps")
+    ).select(
+        F.col(id_col),
+        F.zip_with(
+            starts, ends, lambda s, e: F.struct(s.alias("start"), e.alias("end"))
+        ).alias("_spans"),
+    )
+
+
 def duplicate_spans(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -147,6 +228,7 @@ def duplicate_spans(
     k: int = 20,
     winnow_w: int | None = None,
     impl: str = "window",
+    span_impl: str = "fold",
 ) -> DataFrame:
     """(id, start, end): maximal char spans to REMOVE — every occurrence
     of duplicated >= k-grams except the canonical (global-first) one,
@@ -169,30 +251,19 @@ def duplicate_spans(
       'window' halves the heavy volume (measured ~7 s).
     * 'join': groupBy canonical + equi-join mark (the r3-r5 shape,
       kept as the oracle-twin proof path; pinned output-equal in
-      tests/test_substring_dedup.py)."""
-    if winnow_w is None:
-        g = gram_positions(docs, id_col, text_col, k)
-    else:
-        g = winnowed_gram_positions(docs, id_col, text_col, k, winnow_w)
-    if impl == "window":
-        who = Window.partitionBy("h").orderBy(id_col, "pos")
-        marked = (
-            g.withColumn("_rn", F.row_number().over(who))
-            .filter(F.col("_rn") > 1)
-            .select(id_col, "pos")
-        )
-    else:
-        occ = F.struct(F.col(id_col), F.col("pos"))
-        dup = (
-            g.groupBy("h")
-            .agg(F.count(F.lit(1)).alias("c"), F.min(occ).alias("canon"))
-            .filter(F.col("c") > 1)
-            .select("h", "canon")
-        )
-        marked = (
-            g.join(dup, "h")
-            .filter(occ != F.col("canon"))
-            .select(id_col, "pos")
+      tests/test_substring_dedup.py).
+
+    `span_impl` picks the islands-merge shape (same spans): 'fold'
+    (default, r6) collects each doc's marks into one sorted array and
+    derives the spans with narrow array ops (see _span_arrays — drops
+    the Sort + two Window passes + the (doc, island) aggregate);
+    'window' keeps the r5 gaps-and-islands window machinery."""
+    marked = _marked_positions(docs, id_col, text_col, k, winnow_w, impl)
+    if span_impl == "fold":
+        return (
+            _span_arrays(marked, id_col, k)
+            .select(F.col(id_col), F.explode("_spans").alias("_sp"))
+            .select(id_col, "_sp.start", "_sp.end")
         )
     # gaps-and-islands: a mark covers [pos, pos+k); a new island starts
     # when this mark begins after every previous mark's end
@@ -228,12 +299,17 @@ def dedup_substrings(
     with nothing duplicated pass through byte-identical. `winnow_w`
     selects the winnowing approximation path (sparser fingerprints,
     ~(w+1)/2 x less canonicalize-shuffle volume; spans >= w+k-1
-    guaranteed, up to ~w-1 chars of edge slop per span)."""
-    spans = duplicate_spans(docs, id_col, text_col, k, winnow_w)
-    per_doc = spans.groupBy(id_col).agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("start"), F.col("end")))
-        ).alias("_spans")
+    guaranteed, up to ~w-1 chars of edge slop per span).
+
+    r6: the spans arrive directly as the per-doc sorted array from
+    _span_arrays (the fold islands path already holds them in array
+    form), so the r5 explode -> re-collect_list round trip is gone —
+    the mark stream is aggregated ONCE per doc and goes straight into
+    the cut fold."""
+    per_doc = _span_arrays(
+        _marked_positions(docs, id_col, text_col, k, winnow_w, "window"),
+        id_col,
+        k,
     )
     text = F.col(text_col)
     # fold over sorted spans: carry (kept text so far, cursor); each span

@@ -30,13 +30,21 @@ def spread(df: DataFrame) -> DataFrame:
     task no matter how many cores exist — every md5/shingle/dot-product
     below it would run serially (measured 4-6x slowdown at sf0.1 on 32
     cores). One ~KB-scale shuffle buys full parallelism; on a real
-    100 TB table the scan has thousands of splits and this is a no-op
-    cost-wise (the exchange is tiny relative to the compute it unlocks),
-    but callers should drop it when the input is known to be well-split.
-    Only safe where results are per-row/per-pair (no float accumulation
+    100 TB table the scan has thousands of splits and the r6 guard below
+    makes this a literal no-op: when the physical scan already carries at
+    least defaultParallelism partitions the exchange is skipped entirely
+    (guide §2.4 — remove shuffles outright; the partition probe is
+    plan-compile-time only, no job runs). Only safe where results are
+    per-row/per-pair or integer-exact aggregates (no float accumulation
     whose partition-merge order an oracle could observe)."""
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism)
+    n = sc.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= n:
+            return df
+    except Exception:
+        pass  # un-plannable input (e.g. streaming): keep the repartition
+    return df.repartition(n)
 
 
 def ntz_micros(col):
