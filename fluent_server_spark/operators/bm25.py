@@ -112,25 +112,40 @@ def bm25_topk(
             .withColumn("dl", F.size("_toks"))
             .filter(F.col("dl") > 0)  # token-less docs have no postings
         )
-        corpus = base.agg(
-            F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-        )
         qterms = queries.select(
             F.col(query_id_col),
             F.explode(_tokens(F.col(query_text_col))).alias("term"),
         ).distinct()
         uterms = qterms.select("term").distinct()
-        term_hits = (
-            base.crossJoin(F.broadcast(uterms))
+        # Sentinel fusion (r6): the corpus stats (n_docs, avgdl) used to
+        # be a SECOND full tokenize pass over the docs — the only other
+        # consumer of `base`. Adding the empty-string sentinel to the
+        # broadcast term set makes every base doc emit exactly one tf=0
+        # sentinel row (no real token is '' — _tokens drops empties, so
+        # no query term is '' either), and the single checkpointed probe
+        # stream then carries both the hits AND one (dl) row per doc:
+        # ONE tokenize pass total, one parquet scan fewer in the plan.
+        # count/avg over the sentinel rows see the identical dl integers
+        # the dedicated pass saw => bit-identical stats.
+        sentinel = queries.sparkSession.range(1).select(
+            F.lit("").alias("term")
+        )
+        probe = (
+            base.crossJoin(F.broadcast(uterms.unionAll(sentinel)))
             .withColumn(
                 "tf", F.size(F.filter("_toks", lambda x: x == F.col("term")))
             )
-            .filter(F.col("tf") > 0)
+            .filter((F.col("tf") > 0) | (F.col("term") == ""))
             .select(id_col, "term", "tf", "dl")
-            # two consumers (df stats + scoring): the hit stream is tiny
-            # (sum of df over query terms), so materialize once
+            # three consumers (corpus stats + df stats + scoring): the
+            # probe stream is tiny (sum of df + one row per doc), so
+            # materialize once
             .localCheckpoint(eager=True)
         )
+        corpus = probe.filter(F.col("term") == "").agg(
+            F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        )
+        term_hits = probe.filter(F.col("term") != "")
         stats = term_hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         if max_df is not None:
             stats = stats.crossJoin(

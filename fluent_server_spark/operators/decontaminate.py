@@ -34,7 +34,7 @@ def eval_gram_set(
 ) -> DataFrame:
     """Distinct n-grams of the eval set — the (small) broadcast side."""
     return (
-        with_shingles(eval_docs, text_col, n, out="hg")
+        with_shingles(eval_docs, text_col, n, out="hg", impl="arrow")
         .select(F.explode("hg").alias("g"))
         .distinct()
     )
@@ -56,7 +56,7 @@ def decontaminate(
     stays un-shuffled except the final per-doc count (keyed on id_col,
     combine-heavy, uniform).
     """
-    grams = with_shingles(train, text_col, n, out="hg").select(
+    grams = with_shingles(train, text_col, n, out="hg", impl="arrow").select(
         id_col, F.explode("hg").alias("g")
     )
     hits = (
@@ -107,7 +107,7 @@ def decontaminate_bloom(
     """
     from fluent_server_spark.operators.sketches import bloom_contains
 
-    grams = with_shingles(train, text_col, n, out="hg").select(
+    grams = with_shingles(train, text_col, n, out="hg", impl="arrow").select(
         id_col, F.explode("hg").alias("g")
     )
     # membership is a pure function of the gram -> probe each DISTINCT

@@ -413,3 +413,40 @@ def test_persisted_index_custom_seed_round_trips(spark, corpus, tmp_path):
     ).collect()
     key = lambda r: (r["new_id"], r["corpus_id"])  # noqa: E731
     assert sorted(map(key, stored)) == sorted(map(key, direct))
+
+
+def test_string_shingles_arrow_matches_catalyst(spark):
+    """r6: the batched string-gram kernel (decontaminate's probe side)
+    must produce the IDENTICAL arrays — element order included (both
+    keep first occurrence) — as the Catalyst transform/slice/concat_ws
+    chain, across the Spark-semantics corner cases the hashed twin
+    pinned: space-only trim (tabs/newlines are split chars, not trim
+    chars), split(limit=-1) keeping leading AND trailing empty strings,
+    the partial-shingle clamp for short docs, and NULL text."""
+    from fluent_server_spark.operators.dedup import with_shingles
+
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, "   "),
+        (3, "\tleading tab and trailing newline\n"),
+        (4, "  spaces   between   Words  MIXED Case "),
+        (5, "one"),
+        (6, "one two"),
+        (7, "one two three"),
+        (8, "exactly four tokens here"),
+        (9, "unicode éè 中文 token stream ß test"),
+        (10, "a a a a a repeated gram gram gram"),
+        (11, " \n mixed \t whitespace \r\n kinds "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (2, 3, 5):
+        fold = {
+            r.doc_id: r.hg
+            for r in with_shingles(df, "text", n, out="hg", impl="fold").collect()
+        }
+        arrow = {
+            r.doc_id: r.hg
+            for r in with_shingles(df, "text", n, out="hg", impl="arrow").collect()
+        }
+        assert arrow == fold, f"n={n}: {arrow} != {fold}"
