@@ -740,8 +740,11 @@ def q_event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole cost and a single-row-group events file runs it on ONE
     task (measured 2.4 s -> 1.4 s at sf1.0/local[32]); every aggregate
     here is integer-exact (count/min/max/countDistinct/avg over int), so
-    partitioning cannot perturb the values."""
-    ev = spread(load_table(spark, sf_dir, "events"))
+    partitioning cannot perturb the values. min_bytes gates the
+    exchange to inputs where the serial parse actually dominates
+    (below ~8 MB the exchange costs more than it buys — measured
+    +0.27 s at sf0.1)."""
+    ev = spread(load_table(spark, sf_dir, "events"), min_bytes=8 << 20)
     k = F.get_json_object("props", "$.k").cast("int")
     return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
