@@ -482,7 +482,7 @@ def jaccard_join_blocks(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.2,
-    n_blocks: int = 16,
+    n_blocks: int = 24,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity join via BLOCK-PAIR COMPLETE
     COUNTING (r6). The count kernel (jaccard_join_count) is the right
@@ -509,7 +509,19 @@ def jaccard_join_blocks(
     `n_blocks` is the memory/parallelism dial (B^2 grows tasks
     quadratically while per-task memory shrinks quadratically); the
     hot-token skew cap story is unchanged from jaccard_join_count
-    (a stop-gram-heavy corpus should exact-dedup / cap first)."""
+    (a stop-gram-heavy corpus should exact-dedup / cap first).
+
+    Default 24 (r6, was 16): interleaved sweeps at sf0.1 AND sf1.0 show
+    the two equal on median wall but 24 collapses the straggler TAIL —
+    sf1.0 max 3.2 s vs 12.6 s, sf0.1 max 1.6 s vs 4.7 s over 6
+    alternated runs — because 300 fine tasks rebalance around a stolen
+    core where 136 coarser ones cannot (guide §2.6), and per-task pair
+    volume drops ~2.2x. The price is ~1.5x task replication of the
+    token arrays (+~85 MB shuffled at sf1.0) and a ~0.1-0.4 s worse
+    BEST case; under a few-shot measurement protocol the tail, not the
+    best case, is what gets recorded. 8 is catastrophic on denser-df
+    corpora (measured 22.9 s min at sf1.0 — per-task volume x9 and a
+    36-task single wave exposes the whole wall to one slow core)."""
     sh = with_hashed_shingles(
         docs.filter(F.col(text_col).isNotNull()), text_col, n
     ).select(F.col(id_col).alias("_id"), "hg")
