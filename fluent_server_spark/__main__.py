@@ -831,6 +831,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="bookmark file for --sync-export (default: "
                          "DEST_DIR/_sync_state.json — underscore-prefixed "
                          "so spark.read.parquet(DEST_DIR) ignores it)")
+    ap.add_argument("--force-baseline", action="store_true",
+                    help="--sync-export: accept wiping existing sync dirs "
+                         "when the bookmark file is missing (otherwise that "
+                         "state raises — it usually means --sync-state "
+                         "points at the wrong file)")
     ap.add_argument("--fold-on-drain", action="store_true",
                     help="curate-stream: after draining, fold accepted "
                          "docs' signatures into the persisted index and "
@@ -894,7 +899,8 @@ def main(argv: list[str] | None = None) -> int:
         )
         pipe = TranscriptPipeline(spark, cfg)
         state = args.sync_state or f"{args.sync_export}/_sync_state.json"
-        print(json.dumps(pipe.export_incremental(args.sync_export, state)))
+        print(json.dumps(pipe.export_incremental(
+            args.sync_export, state, force_baseline=args.force_baseline)))
         return 0
     if args.forward_server:
         return _run_forward_server(args)

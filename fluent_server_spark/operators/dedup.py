@@ -1368,6 +1368,7 @@ def banded_hamming_join(
     max_hamming: int = 3,
     n_bands: int = 4,
     segment_cols: tuple[str, ...] = (),
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """CROSS-SET banded hamming join: today's batch against a stored
     corpus — (new_id, corpus_id, hamming) with hamming <= max_hamming.
@@ -1375,7 +1376,16 @@ def banded_hamming_join(
     a persisted index partitioned by band); only the NEW side is banded
     here, so an increment never re-fingerprints the corpus. Same
     pigeonhole recall guarantee as the self-join kernel; the corpus
-    side's n_bands must match (the index manifest enforces it)."""
+    side's n_bands must match (the index manifest enforces it).
+
+    `max_bucket` (ADVICE r5): the self-join kernel caps degenerate
+    buckets but this cross-set twin did not — a collapsed signature
+    cluster in the STORED index (silence/black frames; the r5 sweep
+    measured a 46%-collapsed corpus) fans every matching new row out
+    over the whole cluster. The cap drops over-full (band, chunk[,seg])
+    groups on the CORPUS side before the join — same recall trade as
+    the self-join cap (an exact-dup-collapsed index should not need
+    it); None preserves full recall."""
     if 64 % n_bands != 0:
         raise ValueError(f"n_bands={n_bands} must divide 64")
     if max_hamming >= n_bands:
@@ -1384,6 +1394,13 @@ def banded_hamming_join(
             "recall only covers hamming < n_bands"
         )
     seg = list(segment_cols)
+    if max_bucket is not None:
+        wb = Window.partitionBy("band", "chunk", *seg)
+        corpus_bands = (
+            corpus_bands.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
     left = signature_bands(new_sig, id_col, sig_col, n_bands, segment_cols).select(
         F.col(id_col).alias("new_id"), F.col(sig_col).alias("a_sim"), *seg, "band", "chunk"
     )

@@ -170,7 +170,13 @@ def adjacent_epoch_drift(
     normalize by per-epoch totals, aggregate JS/L1/support deltas.
 
     Output: one row per epoch from the second onward —
-    (epoch, jsd, l1, buckets_gained, buckets_lost) against epoch-1.
+    (epoch, jsd, l1, buckets_gained, buckets_lost) against its
+    PREDECESSOR EPOCH BY RANK (ADVICE r5: the r5 shape paired with the
+    literal e-1, so a numbering gap — a skipped/failed micro-batch —
+    silently produced NO drift row for the epoch after the gap, which a
+    monitoring consumer reads as "no drift"; rank pairing emits the
+    alarm row across the gap instead. Gapless histories are
+    unchanged — the rank predecessor IS e-1 there).
     Floats are sums over buckets: monitoring material (threshold and
     alert), same caveat as :func:`drift_summary`; the row-level
     contributions underneath are exact per the same argument as
@@ -179,17 +185,26 @@ def adjacent_epoch_drift(
     Scale: the history table has ≤B rows per epoch; everything here is
     joins/aggs over it, never over the corpus."""
     e = F.col(epoch_col).cast("bigint")
-    o = counts.select(
-        (e + 1).alias("_e"), "bucket", F.col("cnt").alias("_oc")
+    # predecessor-by-rank map over the DISTINCT epochs (<= one row per
+    # epoch — the single-partition window is over a handful of rows,
+    # never the history table, let alone the corpus)
+    from pyspark.sql import Window as _W
+
+    prev_map = (
+        counts.select(e.alias("_e")).distinct()
+        .withColumn("_prev", F.lag("_e").over(_W.orderBy("_e")))
+        .filter(F.col("_prev").isNotNull())
     )
-    n = counts.select(e.alias("_e"), "bucket", F.col("cnt").alias("_nc"))
-    # epochs where BOTH a previous and a current distribution exist
-    valid = o.select("_e").distinct().join(
-        n.select("_e").distinct(), ["_e"], "inner"
+    o = (
+        counts.select(e.alias("_prev"), "bucket", F.col("cnt").alias("_oc"))
+        .join(F.broadcast(prev_map), ["_prev"])
+        .select("_e", "bucket", "_oc")
+    )
+    n = counts.select(e.alias("_e"), "bucket", F.col("cnt").alias("_nc")).join(
+        F.broadcast(prev_map.select("_e")), ["_e"], "left_semi"
     )
     j = (
         o.join(n, ["_e", "bucket"], "full_outer")
-        .join(F.broadcast(valid), ["_e"], "left_semi")
         .select(
             "_e",
             "bucket",

@@ -345,6 +345,22 @@ def append_to_ivf_index(
     if "sq8" in man:
         from fluent_server_spark.operators.quantize import quantize_expr
 
+        # ADVICE r5: the BUILD path rejects NaN loudly (embedding_bounds)
+        # but quantize_expr silently encodes NaN as code 255 (greatest/
+        # least order NaN above every value) — a drifted append batch
+        # would corrupt stored codes with no signal. Same one-agg loud
+        # check here.
+        n_nan = new_vectors.agg(
+            F.sum(
+                F.exists(F.col(vec_col), lambda x: F.isnan(x)).cast("long")
+            ).alias("n")
+        ).collect()[0]["n"]
+        if n_nan:
+            raise ValueError(
+                f"append batch contains {n_nan} vector(s) with NaN — sq8 "
+                "would silently encode them as code 255; clean the batch "
+                "(the build path rejects the same corruption loudly)"
+            )
         sq = man["sq8"]
         assigned = assigned.select(
             id_col,
@@ -457,7 +473,7 @@ def ivf_topk_from_index(
     return _score_probed(probes, indexed, k)
 
 
-def compact_ivf_index(spark, path: str) -> int:
+def compact_ivf_index(spark, path: str, retain_old_base: bool = False) -> int:
     """LSM-style compaction: fold every increment epoch into the base
     `vectors` layout and drop the increment dirs — the maintenance op a
     long-lived index schedules once increments accumulate (same role
@@ -486,6 +502,19 @@ def compact_ivf_index(spark, path: str) -> int:
        after any crash converges (the epoch filter keys on names, so
        re-merging never re-folds an already-folded epoch).
     4. cleanup again (old base dir + folded epoch dirs + clear list).
+
+    Reader/compactor exclusion (ADVICE r5): step 4 deletes the old base
+    IMMEDIATELY after the pointer flip, so a reader that resolved
+    base.json just before the commit can fail mid-scan — the default
+    contract is therefore SINGLE-WRITER, NO CONCURRENT READERS during
+    compaction (the same exclusion every manifest-pointer flip in this
+    package assumes). For a live-read deployment pass
+    `retain_old_base=True`: step 4 is skipped and the superseded base +
+    folded epoch dirs survive until the NEXT compaction's step-1
+    cleanup collects them (the folded-list machinery already reads
+    correctly around them), giving in-flight readers a full
+    compaction interval of retention — Iceberg's expire-snapshots
+    grace, at the cost of the old base's disk until then.
 
     Returns the number of epochs folded (0 = nothing to do)."""
     import glob as _glob
@@ -531,5 +560,6 @@ def compact_ivf_index(spark, path: str) -> int:
     _write_base_state(
         path, {"dir": new_dir, "folded": state["folded"] + epochs}
     )
-    _cleanup({"dir": new_dir, "folded": state["folded"] + epochs})
+    if not retain_old_base:
+        _cleanup({"dir": new_dir, "folded": state["folded"] + epochs})
     return len(epochs)

@@ -233,6 +233,7 @@ def media_neardup_against(
     payload_col: str = "payload",
     modality_col: str = "modality",
     max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """INCREMENTAL media dedup: today's batch vs the stored corpus
     fingerprint index — (new_id, corpus_id, hamming), same-modality
@@ -240,7 +241,12 @@ def media_neardup_against(
     the at-rest band relation. Banding parameters come from the index
     manifest (never caller-supplied, so a mismatch is impossible).
     max_hamming must stay under the stored n_bands for the pigeonhole
-    recall guarantee — enforced in banded_hamming_join."""
+    recall guarantee — enforced in banded_hamming_join. `max_bucket`
+    (ADVICE r5) caps degenerate signature clusters in the STORED index
+    (silence/black frames — the r5 sweep measured a 46%-collapsed
+    corpus) so one collapsed bucket cannot fan every matching new row
+    out over the whole cluster; None (default) preserves full recall,
+    matching banded_hamming_pairs' cap semantics."""
     import json
     import os
 
@@ -263,4 +269,5 @@ def media_neardup_against(
         max_hamming=max_hamming,
         n_bands=man["n_bands"],
         segment_cols=("modality",),
+        max_bucket=max_bucket,
     )

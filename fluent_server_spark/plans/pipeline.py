@@ -419,7 +419,9 @@ class TranscriptPipeline:
         df = self.spark.read.option("basePath", root).parquet(*paths)
         return df.drop("run_id")
 
-    def export_incremental(self, dest_dir: str, state_path: str) -> dict:
+    def export_incremental(
+        self, dest_dir: str, state_path: str, force_baseline: bool = False
+    ) -> dict:
         """Bookmark-driven downstream sync — the CDC-consumer loop over
         the snapshot commit log: export exactly the rows appended since
         the last sync, advance the bookmark, repeat per schedule. The
@@ -433,7 +435,17 @@ class TranscriptPipeline:
         bookmarked head. First sync (no bookmark) exports the full
         append view as the baseline. No new commits -> no-op (nothing
         written, bookmark untouched). Returns {"synced_to", "n_rows",
-        "baseline"}; n_rows is -1 for a no-op."""
+        "baseline"}; n_rows is -1 for a no-op.
+
+        ADVICE r5: a MISSING bookmark combined with EXISTING sync dirs
+        used to be treated as crashed leftovers and silently deleted
+        before a full re-baseline — self-healing, but destructive when
+        the operator pointed `state_path` at the wrong file (the dirs
+        belong to a healthy sync whose bookmark lives elsewhere). That
+        state now raises unless `force_baseline=True` explicitly
+        accepts the wipe; a bookmark-ed retry (the genuine crash case,
+        where the bookmark EXISTS) heals exactly as before without the
+        flag."""
         import json as _json
 
         if not os.path.exists(self.config.checkpoint_path):
@@ -473,6 +485,16 @@ class TranscriptPipeline:
         # head may even differ if commits landed before the retry) —
         # remove every sync dir beyond the bookmark before writing
         bookmarked = set() if last is None else set(runs[: runs.index(last) + 1])
+        if last is None and not force_baseline and os.path.isdir(dest_dir):
+            stale = [d for d in os.listdir(dest_dir) if d.startswith("sync=")]
+            if stale:
+                raise ValueError(
+                    f"no sync bookmark at {state_path!r} but {dest_dir!r} "
+                    f"already holds {len(stale)} sync dir(s) — wrong "
+                    "--sync-state path for this export dir? Re-baselining "
+                    "would DELETE them; pass force_baseline=True (CLI: "
+                    "--force-baseline) to accept that"
+                )
         if os.path.isdir(dest_dir):
             for d in os.listdir(dest_dir):
                 if d.startswith("sync=") and d.split("=", 1)[1] not in bookmarked:

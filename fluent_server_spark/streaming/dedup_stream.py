@@ -83,6 +83,7 @@ def stream_media_neardup_against_index(
     schema: str = MEDIA_DDL,
     max_hamming: int = 3,
     max_files_per_trigger: int = 4,
+    max_bucket: int | None = None,
 ):
     """Media twin of stream_neardup_against_index: each ingest epoch
     fingerprints ONLY the newly arrived payloads (map-only Arrow) and
@@ -101,7 +102,8 @@ def stream_media_neardup_against_index(
 
     def check_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         pairs = media_neardup_against(
-            batch_df, corpus_index, max_hamming=max_hamming
+            batch_df, corpus_index, max_hamming=max_hamming,
+            max_bucket=max_bucket,
         )
         (
             pairs.write.mode("overwrite").parquet(

@@ -189,3 +189,28 @@ def test_streaming_epoch_drift(spark, tmp_path):
     # a reversal (symmetric JSD makes reversal equal) — both acceptable
     for g, w in zip(got, want):
         assert g == pytest.approx(w, abs=1e-9)
+
+
+def test_adjacent_epoch_drift_pairs_across_numbering_gaps(spark):
+    """ADVICE r5: a gap in epoch numbering (skipped/failed micro-batch)
+    must NOT suppress the alarm row — the epoch after the gap pairs
+    with its predecessor BY RANK, and the drift values equal
+    drift_summary over that same pair."""
+    hist = [
+        (0, 1, 10), (0, 2, 30), (0, 3, 60),
+        # epoch 1 is MISSING (failed micro-batch)
+        (2, 2, 25), (2, 3, 50), (2, 4, 25),
+        (5, 2, 50), (5, 3, 100), (5, 4, 50),
+    ]
+    counts = spark.createDataFrame(hist, "epoch int, bucket int, cnt long")
+    from fluent_server_spark.operators.drift import adjacent_epoch_drift
+
+    got = {r["epoch"]: r for r in adjacent_epoch_drift(counts).collect()}
+    # rows for 2 (vs 0) and 5 (vs 2) — NOT silently dropped
+    assert set(got) == {2, 5}
+    old = _counts(spark, [(b, c) for ep, b, c in hist if ep == 0])
+    new = _counts(spark, [(b, c) for ep, b, c in hist if ep == 2])
+    want = drift_summary(old, new).collect()[0]
+    assert got[2]["jsd"] == pytest.approx(want["jsd"], abs=1e-9)
+    assert got[2]["buckets_gained"] == want["buckets_gained"]
+    assert got[5]["jsd"] == pytest.approx(0.0, abs=1e-12)  # scaled copy of 2

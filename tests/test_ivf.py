@@ -180,3 +180,64 @@ def test_compact_folds_increments_bit_equal(spark, vec_df, centroids, tmp_path):
     assert compact_ivf_index(spark, path) == 0
     assert not os.path.exists(f"{path}/vectors_v99")
     assert _rows(ivf_topk_from_index(spark, path, queries, k=4, nprobe=2)) == now
+
+
+def test_compact_retain_old_base_defers_gc(spark, vec_df, centroids, tmp_path):
+    """ADVICE r5: retain_old_base=True keeps the superseded base and
+    folded epoch dirs on disk after the pointer flip (a full
+    compaction interval of reader retention); reads are correct around
+    them, and the NEXT compaction's cleanup collects them."""
+    import glob
+    import os
+
+    from fluent_server_spark.operators.ivf import (
+        append_to_ivf_index,
+        compact_ivf_index,
+        ivf_topk_from_index,
+        read_ivf_vectors,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    write_ivf_index(vec_df.filter(F.col("vec_id") < 60), path, centroids)
+    append_to_ivf_index(vec_df.filter(F.col("vec_id") >= 60), path, epoch=0)
+    n = read_ivf_vectors(spark, path).count()
+    queries = vec_df.filter(F.col("vec_id") < 3)
+    before = _rows(ivf_topk_from_index(spark, path, queries, k=4, nprobe=2))
+
+    assert compact_ivf_index(spark, path, retain_old_base=True) == 1
+    # superseded dirs retained for in-flight readers...
+    assert os.path.isdir(f"{path}/increments/epoch=0")
+    assert len(glob.glob(f"{path}/vectors*")) == 2
+    # ...and reads are already on the new base, folded epoch skipped
+    assert read_ivf_vectors(spark, path).count() == n
+    assert _rows(ivf_topk_from_index(spark, path, queries, k=4, nprobe=2)) == before
+
+    # the next compaction's cleanup phase collects the retained dirs
+    assert compact_ivf_index(spark, path) == 0
+    assert not os.path.exists(f"{path}/increments/epoch=0")
+    assert len(glob.glob(f"{path}/vectors*")) == 1
+    assert _rows(ivf_topk_from_index(spark, path, queries, k=4, nprobe=2)) == before
+
+
+def test_sq8_append_rejects_nan(spark, vec_df, centroids, tmp_path):
+    """ADVICE r5: the BUILD path rejects NaN loudly but quantize_expr
+    silently encodes NaN as code 255 — an sq8 APPEND batch with NaN
+    must now fail the same loud way instead of corrupting stored codes."""
+    import math
+
+    from fluent_server_spark.operators.ivf import write_ivf_index
+
+    path = str(tmp_path / "ivf_sq8")
+    dim = len(centroids[0])
+    write_ivf_index(
+        vec_df.filter(F.col("vec_id") < 80), path, centroids, sq8=True
+    )
+    bad = spark.createDataFrame(
+        [(500, [math.nan] + [0.0] * (dim - 1))],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="NaN"):
+        append_to_ivf_index(bad, path, epoch=3)
+    # a clean batch still appends fine
+    append_to_ivf_index(vec_df.filter(F.col("vec_id") >= 80), path, epoch=3)

@@ -336,3 +336,34 @@ def test_hot_bucket_cap_sheds_degenerate_cluster(spark):
     assert uncapped == 50 * 49 // 2 + 1  # quadratic cluster + the bmp pair
     capped = media_neardup_pairs(df, max_bucket=10).collect()
     assert {(r.a_id, r.b_id) for r in capped} == {(100, 101)}
+
+
+def test_incremental_max_bucket_caps_collapsed_corpus(spark, media, tmp_path):
+    """ADVICE r5: the cross-set kernel now accepts the same hot-bucket
+    cap as the self-join — a degenerate signature cluster in the STORED
+    index must stop fanning every matching new row over the whole
+    cluster. Cap=None keeps full recall (unchanged); a cap below the
+    cluster size suppresses exactly the collapsed bucket's pairs."""
+    pdf = _corpus_pandas()
+    corpus_pdf = pdf[pdf.media_id < 24]
+    batch_pdf = pdf[pdf.media_id >= 24]
+    corpus = spark.createDataFrame(corpus_pdf, schema=MEDIA_SCHEMA)
+    batch = spark.createDataFrame(batch_pdf, schema=MEDIA_SCHEMA)
+    path = str(tmp_path / "media_idx_cap")
+    write_media_fingerprint_index(corpus, path)
+
+    uncapped = {
+        (r.new_id, r.corpus_id, r.hamming)
+        for r in media_neardup_against(batch, path).collect()
+    }
+    # a cap generous enough for every real bucket changes nothing
+    roomy = {
+        (r.new_id, r.corpus_id, r.hamming)
+        for r in media_neardup_against(batch, path, max_bucket=10_000).collect()
+    }
+    assert roomy == uncapped and len(uncapped) > 0
+    # cap of zero drops every corpus band row -> no pairs survive (the
+    # degenerate-bucket limit case), proving the cap binds on the
+    # corpus side of the cross-set join
+    none_left = media_neardup_against(batch, path, max_bucket=0).count()
+    assert none_left == 0

@@ -245,3 +245,27 @@ def test_export_missing_commit_log_fails_loud(spark, tmp_path):
     pipe = TranscriptPipeline(spark, _cfg(tmp_path))
     with pytest.raises(FileNotFoundError, match="commit log"):
         pipe.export_incremental(str(tmp_path / "export"), str(tmp_path / "s.json"))
+
+
+def test_export_missing_bookmark_with_sync_dirs_refuses_wipe(spark, turns_pdf, tmp_path):
+    """ADVICE r5: a missing bookmark + existing sync dirs means the
+    operator probably pointed --sync-state at the wrong file — the old
+    self-heal silently DELETED every sync dir and re-baselined. It must
+    refuse loudly now, and proceed only under force_baseline=True."""
+    import os
+
+    pipe = TranscriptPipeline(spark, _cfg(tmp_path))
+    dest = str(tmp_path / "export")
+    state = str(tmp_path / "sync_state.json")
+    pipe.run(spark.createDataFrame(turns_pdf), run_id="r1")
+    pipe.export_incremental(dest, state)
+    assert os.path.isdir(f"{dest}/sync=r1")
+
+    wrong_state = str(tmp_path / "typo_state.json")  # bookmark "missing"
+    with pytest.raises(ValueError, match="force_baseline"):
+        pipe.export_incremental(dest, wrong_state)
+    assert os.path.isdir(f"{dest}/sync=r1")  # nothing was deleted
+
+    # explicit opt-in: wipes and re-baselines exactly like the old heal
+    s = pipe.export_incremental(dest, wrong_state, force_baseline=True)
+    assert s["baseline"] and s["n_rows"] == len(turns_pdf)
