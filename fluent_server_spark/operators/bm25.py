@@ -137,9 +137,14 @@ def bm25_topk(
             )
             .filter((F.col("tf") > 0) | (F.col("term") == ""))
             .select(id_col, "term", "tf", "dl")
-            # three consumers (corpus stats + df stats + scoring): the
-            # probe stream is tiny (sum of df + one row per doc), so
-            # materialize once
+            # three consumers (corpus stats + df stats + scoring). The
+            # checkpoint is O(n_docs + sum of df) ROWS — the sentinel
+            # row per doc makes it corpus-CARDINALITY (review r6: not
+            # "tiny"), but each row is ~30 bytes (id, '', 0, dl), so it
+            # is ~2% of corpus TEXT bytes and replaces the full second
+            # tokenize SCAN of those bytes that corpus stats used to
+            # cost — the trade wins by ~50x in bytes touched and grows
+            # with document length, not count
             .localCheckpoint(eager=True)
         )
         corpus = probe.filter(F.col("term") == "").agg(

@@ -40,9 +40,9 @@ def eval_gram_set(
     )
 
 
-def _gram_impl(train: DataFrame, impl: str) -> str:
-    """Resolve impl='auto': the batched Arrow gram kernel wins once the
-    train slice is big enough to amortize its fixed Python-stage costs
+def _gram_impl(side: DataFrame, impl: str) -> str:
+    """Resolve impl='auto' PER SIDE: the batched Arrow gram kernel wins
+    once that side is big enough to amortize its fixed Python-stage costs
     (measured: -0.8 s at sf1.0, +0.2 s at sf0.1 on local[32]); below
     the threshold the Catalyst chain is the faster AND the r5 shape, so
     small inputs keep the round-5 plan exactly. Unknown input size
@@ -53,7 +53,7 @@ def _gram_impl(train: DataFrame, impl: str) -> str:
         return impl
     from fluent_server_spark.queries import input_bytes
 
-    b = input_bytes(train)
+    b = input_bytes(side)
     return "arrow" if b is None or b >= (3 << 20) else "fold"
 
 
@@ -74,12 +74,19 @@ def decontaminate(
     stays un-shuffled except the final per-doc count (keyed on id_col,
     combine-heavy, uniform).
     """
-    impl = _gram_impl(train, impl)
-    grams = with_shingles(train, text_col, n, out="hg", impl=impl).select(
-        id_col, F.explode("hg").alias("g")
-    )
+    # each side resolves its own impl from its own size (review r6: a
+    # big train slice must not force the Arrow kernel's fixed Python-
+    # stage cost onto a tiny eval set — the usual shape at scale)
+    grams = with_shingles(
+        train, text_col, n, out="hg", impl=_gram_impl(train, impl)
+    ).select(id_col, F.explode("hg").alias("g"))
     hits = (
-        grams.join(F.broadcast(eval_gram_set(eval_docs, text_col, n, impl)), "g")
+        grams.join(
+            F.broadcast(
+                eval_gram_set(eval_docs, text_col, n, _gram_impl(eval_docs, impl))
+            ),
+            "g",
+        )
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )

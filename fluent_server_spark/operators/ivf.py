@@ -343,18 +343,17 @@ def append_to_ivf_index(
         id_col, vec_col, "cell"
     )
     if "sq8" in man:
-        from fluent_server_spark.operators.quantize import quantize_expr
+        from fluent_server_spark.operators.quantize import (
+            nan_vector_count,
+            quantize_expr,
+        )
 
         # ADVICE r5: the BUILD path rejects NaN loudly (embedding_bounds)
         # but quantize_expr silently encodes NaN as code 255 (greatest/
         # least order NaN above every value) — a drifted append batch
-        # would corrupt stored codes with no signal. Same one-agg loud
-        # check here.
-        n_nan = new_vectors.agg(
-            F.sum(
-                F.exists(F.col(vec_col), lambda x: F.isnan(x)).cast("long")
-            ).alias("n")
-        ).collect()[0]["n"]
+        # would corrupt stored codes with no signal. Same loud check,
+        # same single-sourced detection expression (nan_vector_count).
+        n_nan = nan_vector_count(new_vectors, vec_col)
         if n_nan:
             raise ValueError(
                 f"append batch contains {n_nan} vector(s) with NaN — sq8 "

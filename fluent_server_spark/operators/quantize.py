@@ -47,15 +47,25 @@ def bounds_agg(
         e = F.element_at(F.col(vec_col), i + 1)
         aggs.append(F.min(e).alias(f"mn{i}"))
         aggs.append(F.max(e).alias(f"mx{i}"))
-    aggs.append(
-        F.sum(
-            F.exists(F.col(vec_col), lambda x: F.isnan(x)).cast("long")
-        ).alias("n_nan")
-    )
+    aggs.append(_nan_agg(vec_col).alias("n_nan"))
     aggs.append(
         F.sum((F.size(F.col(vec_col)) != dim).cast("long")).alias("n_badsize")
     )
     return vectors.agg(*aggs)
+
+
+def _nan_agg(vec_col: str) -> Column:
+    """THE NaN-vector-count aggregate expression — single source for the
+    sq8 BUILD gate (bounds_agg) and the sq8 APPEND gate
+    (append_to_ivf_index via nan_vector_count), so the two cannot drift
+    apart (ADVICE r5)."""
+    return F.sum(F.exists(F.col(vec_col), lambda x: F.isnan(x)).cast("long"))
+
+
+def nan_vector_count(vectors: DataFrame, vec_col: str = "embedding") -> int:
+    """Number of vectors containing any NaN element (one aggregate pass,
+    no shuffle) — see _nan_agg."""
+    return vectors.agg(_nan_agg(vec_col).alias("n")).collect()[0]["n"] or 0
 
 
 def embedding_bounds(

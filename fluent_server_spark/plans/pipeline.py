@@ -441,11 +441,16 @@ class TranscriptPipeline:
         used to be treated as crashed leftovers and silently deleted
         before a full re-baseline — self-healing, but destructive when
         the operator pointed `state_path` at the wrong file (the dirs
-        belong to a healthy sync whose bookmark lives elsewhere). That
-        state now raises unless `force_baseline=True` explicitly
-        accepts the wipe; a bookmark-ed retry (the genuine crash case,
-        where the bookmark EXISTS) heals exactly as before without the
-        flag."""
+        belong to a healthy sync whose bookmark lives elsewhere). The
+        guard distinguishes the two by run id: leftover dirs from THIS
+        table's crashed first baseline name committed runs of this
+        table and still self-heal unattended; dirs naming runs this
+        table never committed raise unless `force_baseline=True`
+        explicitly accepts the wipe. (Residual ambiguity: a foreign dir
+        whose run id coincides with one of ours is healed as ours —
+        run ids are caller-chosen, so callers sharing ids across tables
+        into one dest_dir were already out of contract.) A bookmark-ed
+        retry (the bookmark EXISTS) heals exactly as before."""
         import json as _json
 
         if not os.path.exists(self.config.checkpoint_path):
@@ -487,13 +492,23 @@ class TranscriptPipeline:
         bookmarked = set() if last is None else set(runs[: runs.index(last) + 1])
         if last is None and not force_baseline and os.path.isdir(dest_dir):
             stale = [d for d in os.listdir(dest_dir) if d.startswith("sync=")]
-            if stale:
+            # A crashed FIRST baseline (sync=H written, bookmark never
+            # landed) must keep self-healing unattended: its leftover
+            # dirs name committed runs of THIS table, so heal when every
+            # stale dir does. Foreign dirs (the wrong --sync-state
+            # scenario) belong to some other table/log and in practice
+            # name runs this table never committed -> refuse loudly.
+            foreign = [
+                d for d in stale if d.split("=", 1)[1] not in set(runs)
+            ]
+            if foreign:
                 raise ValueError(
                     f"no sync bookmark at {state_path!r} but {dest_dir!r} "
-                    f"already holds {len(stale)} sync dir(s) — wrong "
-                    "--sync-state path for this export dir? Re-baselining "
-                    "would DELETE them; pass force_baseline=True (CLI: "
-                    "--force-baseline) to accept that"
+                    f"holds sync dir(s) {sorted(foreign)} naming runs this "
+                    "table never committed — wrong --sync-state path for "
+                    "this export dir? Re-baselining would DELETE them; pass "
+                    "force_baseline=True (CLI: --force-baseline) to accept "
+                    "that"
                 )
         if os.path.isdir(dest_dir):
             for d in os.listdir(dest_dir):

@@ -75,16 +75,34 @@ def spread(df: DataFrame, min_bytes: int = 0) -> DataFrame:
             return df
     try:
         # The partition probe compiles the physical scan (~45 ms per
-        # fresh DataFrame) — cache the verdict per (file set, cores):
-        # within one session the same files always split the same way,
-        # and inputFiles() is analyzed-plan metadata (~10 ms warm).
+        # fresh DataFrame) — cache the verdict per (file set WITH sizes,
+        # cores): split computation is a pure function of file sizes and
+        # session conf, so the sized key is EXACT (an in-place rewrite
+        # that changes sizes misses the cache; a same-size rewrite
+        # splits identically anyway). inputFiles() + stat is ~10 ms
+        # warm. Bounded so a long-lived session (streaming folds,
+        # scheduled syncs) cannot grow it without limit.
+        import os as _os
+
         files = df.inputFiles()
-        key = (frozenset(files), n) if files else None
+        key = None
+        if files:
+            def _sz(f: str) -> int:
+                try:  # remote FS paths can't be stat'd locally: size -1
+                    return _os.path.getsize(
+                        f.split(":", 1)[1] if f.startswith("file:") else f
+                    )
+                except OSError:
+                    return -1
+
+            key = (frozenset((f, _sz(f)) for f in files), n)
         if key is not None and key in _SPREAD_CACHE:
             well_split = _SPREAD_CACHE[key]
         else:
             well_split = df.rdd.getNumPartitions() >= n
             if key is not None:
+                if len(_SPREAD_CACHE) >= 256:
+                    _SPREAD_CACHE.pop(next(iter(_SPREAD_CACHE)))
                 _SPREAD_CACHE[key] = well_split
         if well_split:
             return df

@@ -247,25 +247,36 @@ def test_export_missing_commit_log_fails_loud(spark, tmp_path):
         pipe.export_incremental(str(tmp_path / "export"), str(tmp_path / "s.json"))
 
 
-def test_export_missing_bookmark_with_sync_dirs_refuses_wipe(spark, turns_pdf, tmp_path):
-    """ADVICE r5: a missing bookmark + existing sync dirs means the
-    operator probably pointed --sync-state at the wrong file — the old
-    self-heal silently DELETED every sync dir and re-baselined. It must
-    refuse loudly now, and proceed only under force_baseline=True."""
+def test_export_missing_bookmark_foreign_dirs_refuse_own_dirs_heal(
+    spark, turns_pdf, tmp_path
+):
+    """ADVICE r5 + review: a missing bookmark over sync dirs naming runs
+    this table NEVER committed means --sync-state probably points at the
+    wrong file — refuse loudly (force_baseline overrides). But a crashed
+    FIRST baseline (our own sync dir, bookmark never landed) must keep
+    self-healing unattended — its dirs name OUR committed runs."""
     import os
 
     pipe = TranscriptPipeline(spark, _cfg(tmp_path))
     dest = str(tmp_path / "export")
     state = str(tmp_path / "sync_state.json")
     pipe.run(spark.createDataFrame(turns_pdf), run_id="r1")
-    pipe.export_incremental(dest, state)
-    assert os.path.isdir(f"{dest}/sync=r1")
 
-    wrong_state = str(tmp_path / "typo_state.json")  # bookmark "missing"
+    # crashed first baseline: sync=r1 written, bookmark missing -> heals
+    os.makedirs(f"{dest}/sync=r1", exist_ok=True)
+    s = pipe.export_incremental(dest, state)
+    assert s == {"synced_to": "r1", "n_rows": len(turns_pdf), "baseline": True}
+
+    # foreign dir (a run id this table never committed) + missing
+    # bookmark -> refuse, delete nothing
+    os.makedirs(f"{dest}/sync=other-tables-run")
+    wrong_state = str(tmp_path / "typo_state.json")
     with pytest.raises(ValueError, match="force_baseline"):
         pipe.export_incremental(dest, wrong_state)
-    assert os.path.isdir(f"{dest}/sync=r1")  # nothing was deleted
+    assert os.path.isdir(f"{dest}/sync=other-tables-run")
+    assert os.path.isdir(f"{dest}/sync=r1")
 
     # explicit opt-in: wipes and re-baselines exactly like the old heal
     s = pipe.export_incremental(dest, wrong_state, force_baseline=True)
     assert s["baseline"] and s["n_rows"] == len(turns_pdf)
+    assert not os.path.isdir(f"{dest}/sync=other-tables-run")

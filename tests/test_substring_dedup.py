@@ -227,3 +227,34 @@ def test_winnowed_selection_adds_no_exchange(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_span_fold_equals_window_islands(spark):
+    """Review r6: pin the fold islands path (default) output-equal to
+    the r5 window machinery on randomized corpora with planted shared
+    spans — both plain and winnowed gram selection."""
+    import random
+
+    from fluent_server_spark.operators.substring_dedup import duplicate_spans
+
+    rng = random.Random(77)
+    boiler = "shared boilerplate paragraph appearing in many documents here"
+    docs = {}
+    for i in range(40):
+        body = "".join(rng.choice("abcdefg ") for _ in range(rng.randint(10, 160)))
+        docs[i] = body + (boiler if i % 3 == 0 else "") + body[: rng.randint(0, 30)]
+    sdf = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    for winnow_w in (None, 4):
+        fold = sorted(
+            (r.doc_id, r.start, r.end)
+            for r in duplicate_spans(
+                sdf, k=12, winnow_w=winnow_w, span_impl="fold"
+            ).collect()
+        )
+        win = sorted(
+            (r.doc_id, r.start, r.end)
+            for r in duplicate_spans(
+                sdf, k=12, winnow_w=winnow_w, span_impl="window"
+            ).collect()
+        )
+        assert fold == win and len(fold) > 0, winnow_w
